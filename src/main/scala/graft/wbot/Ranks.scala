@@ -1,0 +1,42 @@
+package graft.wbot
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Scalable deterministic global ranking — reifies the reference's FIFO queue
+ * order (`/root/reference/pkg/services/queue/queue.go:37-49`) as an explicit
+ * `seq` column WITHOUT a single-partition window (which would serialize the
+ * whole frontier through one task at 10^10 scale).
+ *
+ * Pattern: range-partition by the sort keys, rank within partitions, then add
+ * per-partition offsets (the tiny per-partition counts are the only thing
+ * that crosses the driver). Wall-clock cost is one range shuffle + one narrow
+ * window per call; every stage is fully parallel.
+ */
+object Ranks {
+
+  /**
+   * Adds `outCol` = 1-based dense global row number of `df` ordered by `keys`
+   * (which must be unique per row). Scales: no global single-partition window.
+   */
+  def globalRank(df: DataFrame, keys: Seq[Column], outCol: String, numPartitions: Int): DataFrame = {
+    val ranged = df.repartitionByRange(math.max(1, numPartitions), keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-partition counts → cumulative offsets (≤ numPartitions rows cross
+    // the driver — the only non-distributed state)
+    val counts = ranged.groupBy(col("__pid")).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }.toMap
+    }
+    val offsetUdf = udf((pid: Int) => offsets.getOrElse(pid, 0L))
+    val w = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+    ranged
+      .withColumn(outCol, row_number().over(w).cast("long") + offsetUdf(col("__pid")))
+      .drop("__pid")
+  }
+}

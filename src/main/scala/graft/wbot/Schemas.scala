@@ -1,0 +1,128 @@
+package graft.wbot
+
+/**
+ * Row and config types shared by the Spark engine, the sequential Oracle
+ * simulator, and the fixture generator. Mirrors the reference record types
+ * (`/root/reference/pkg/api/wbot.go:68-107`) re-expressed as Spark-encodable
+ * case classes.
+ */
+object Schemas {
+
+  /** A frontier entry — the reference `Request` (`wbot.go:68-72`) with URL
+    * identity precomputed (`ParsedURL`, `wbot.go:84-88`) and the explicit
+    * BFS sequence number that reifies the FIFO queue order (`queue.go:37-49`). */
+  final case class FrontierRow(
+      url: String, // Go-serialized absolute URL (fetch key pre-canon)
+      canon: String, // canonical form, hashLink's pre-hash string (wbot.go:219-238)
+      hash: String, // sha256 hex of canon — reference-exact identity
+      hash64: Long, // xxhash64(canon) — partitioning / Bloom key
+      host: String, // URL host[:port] as parsed (Q1 operand, crawler.go:252)
+      root: String, // registrable domain (politeness + rule key)
+      depth: Int,
+      seq: Long, // global BFS sequence (depth-major, FIFO within depth)
+      ua: String // sticky per-seed-branch user agent (crawler.go:279 quirk)
+  )
+
+  /** One fetched page — the reference `Response` (`wbot.go:74-82`) flattened. */
+  final case class CrawledRow(
+      url: String,
+      canon: String,
+      hash: String,
+      depth: Int,
+      seq: Long,
+      status: Int,
+      superstep: Int, // which superstep actually fetched it (politeness deferral)
+      interval: Int // rate-interval slot within the superstep (R1 schedule)
+  )
+
+  /** Filter rule (`wbot.go:98-102`): regex allow/disallow per registrable
+    * domain, `"*"` wildcard, default-deny-once-a-rule-matches
+    * (`filter.go:35-57`). */
+  final case class FilterRule(hostname: String, allow: List[String], disallow: List[String])
+
+  /** Per-host politeness budget — reference rate string "N/Mu"
+    * (`limiter.go:61-90`) reduced to N fetches per rate interval. */
+  final case class RateLimit(hostname: String, rate: String)
+
+  /** Parsed budget: N requests per interval of `intervalMs`. */
+  final case class Budget(n: Int, intervalMs: Long)
+
+  /** `parseRateLimit` (`limiter.go:61-90`): "N/Mu" with unit s/m/h
+    * (case-insensitive); any malformed part falls back to the default 10/1s. */
+  def parseRateLimit(s: String): Budget = {
+    val default = Budget(10, 1000L)
+    val parts = s.split("/", -1)
+    if (parts.length != 2) return default
+    val n = parts(0).toIntOption.getOrElse(return default)
+    val iv = parts(1)
+    if (iv.isEmpty) return default
+    val num = iv.substring(0, iv.length - 1).toIntOption.getOrElse(return default)
+    val ms = iv.charAt(iv.length - 1) match {
+      case 's' | 'S' => num * 1000L
+      case 'm' | 'M' => num * 60000L
+      case 'h' | 'H' => num * 3600000L
+      case _         => return default
+    }
+    Budget(n, ms)
+  }
+
+  /** Robots rules: host → disallowed path prefixes per agent. Empty = the
+    * reference's effective behavior (its robots map is never populated —
+    * `robot.go:32-41` always allows). */
+  final case class RobotsRule(host: String, agent: String, disallowPrefix: String)
+
+  /** The 44-extension reject regex (`/root/reference/filter.go:10`), applied
+    * to the decoded URL path. */
+  val badExtRegex: String =
+    "\\.(png|jpg|jpeg|gif|ico|eps|pdf|iso|mp3|mp4|zip|aif|mpa|wav|wma|7z|deb|pkg|rar|rpm|bin|dmg|dat|tar|exe|ps|psd|svg|tif|tiff|pps|ppt|pptx|xls|xlsx|wmv|doc|docx|txt|mov|mpl|css|js)$"
+  val badExtPattern: java.util.regex.Pattern = java.util.regex.Pattern.compile(badExtRegex)
+
+  val defaultUserAgent = "WBot/v0.2.0 (+https://github.com/twiny/wbot)" // config.go:12
+  val defaultMaxBodySize: Long = 5L * 1024 * 1024 // config.go:14
+  val defaultMaxDepth = 10 // config.go:30-32
+
+  /** Engine configuration — the reference `config` (`config.go:19-28`) plus
+    * Spark-side knobs. */
+  final case class CrawlConfig(
+      maxDepth: Int = defaultMaxDepth,
+      maxBodySize: Long = defaultMaxBodySize,
+      userAgents: Vector[String] = Vector(defaultUserAgent),
+      rateLimits: Map[String, Budget] = Map("*" -> Budget(10, 1000L)),
+      filterRules: Map[String, FilterRule] = Map.empty,
+      robots: Seq[RobotsRule] = Seq.empty,
+      robotsStandardMode: Boolean = false, // false = reference parity (no-op gate)
+      partitions: Int = 32, // P: hash-range partition count for seen/frontier
+      strictPoliteness: Boolean = false, // true: physically drain per rate-interval
+      bloomEnabled: Boolean = true,
+      bloomBitsPerKey: Int = 10,
+      checkpointDir: Option[String] = None,
+      maxSupersteps: Int = Int.MaxValue // stop after N supersteps (resume testing / ops)
+  ) {
+    def budgetFor(root: String): Budget =
+      rateLimits.getOrElse(root, rateLimits.getOrElse("*", Budget(10, 1000L)))
+    def uaFor(seedIdx: Int): String = userAgents(seedIdx % userAgents.length)
+  }
+
+  /** `filter.allow` (`/root/reference/filter.go:30-57`), shared by the Oracle
+    * and the Spark predicate builder: bad-extension check on the decoded
+    * path; then host rule (exact root, else "*", else allow); with a rule:
+    * any disallow match on the full URL string → deny; any allow match →
+    * allow; else deny. */
+  def filterAllow(rules: Map[String, FilterRule], root: String, path: String, urlStr: String): Boolean = {
+    if (badExtPattern.matcher(path).find()) return false
+    val rule = rules.get(root).orElse(rules.get("*")) match {
+      case None    => return true
+      case Some(r) => r
+    }
+    if (rule.disallow.exists(p => java.util.regex.Pattern.compile(p).matcher(urlStr).find())) return false
+    rule.allow.exists(p => java.util.regex.Pattern.compile(p).matcher(urlStr).find())
+  }
+
+  /** Standard robots gate (host-keyed prefix rules, agent "*" fallback).
+    * Reference parity mode uses an EMPTY rule set → always allow
+    * (`robot.go:35-38`). */
+  def robotsAllowed(rules: Seq[RobotsRule], host: String, path: String, ua: String): Boolean = {
+    val hostRules = rules.filter(r => r.host == host && (r.agent == "*" || ua.contains(r.agent)))
+    !hostRules.exists(r => r.disallowPrefix.nonEmpty && path.startsWith(r.disallowPrefix))
+  }
+}

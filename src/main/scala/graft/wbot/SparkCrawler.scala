@@ -1,0 +1,306 @@
+package graft.wbot
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import scala.collection.mutable
+import Schemas._
+
+/**
+ * The Spark-native crawl engine: the reference's concurrent pull loop
+ * (`/root/reference/crawler.go:195-291`) re-architected as an iterative
+ * frontier-expansion pipeline of batch supersteps (one superstep = one BFS
+ * depth level), per SURVEY.md §3.2. All state is tabular:
+ *
+ *   frontier(depth d)  —[politeness ranked-window drain]→  rate intervals
+ *     —[left join pages on canon (the "fetch")]→  crawled_d + failures
+ *     —[extractLinks ∘ posexplode → resolve → Q1 ∧ Q2 ∧ Q3]→ candidates
+ *     —[in-batch first-occurrence window + Bloom-prefiltered anti-join seen]→ fresh
+ *     —[scalable global rank → seq]→ frontier(d+1);  seen ∪= fresh
+ *
+ * Exact-match guarantees vs the reference at WithParallel(1):
+ *   crawl order = `seq` ascending (seq reifies the FIFO, assigned in
+ *   discovery order: within a depth by (parent_seq, link_pos), depths
+ *   stratified — identical to the FIFO's BFS order);
+ *   seen set = test-and-set semantics split into its two halves: in-batch
+ *   first-occurrence (`row_number`=1 over hash) + cross-batch anti-join,
+ *   with seeds never pre-marked (`crawler.go:173-194` skips the store) and
+ *   candidates marked seen even when their later fetch fails (Q4a/Q4b quirks).
+ */
+object SparkCrawler {
+
+  final case class StepStat(depth: Int, frontierSize: Long, fetched: Long, failed: Long,
+      candidates: Long, passedFilters: Long, fresh: Long, intervals: Int, wallMs: Long)
+
+  final case class CrawlRun(
+      order: DataFrame, // seq,url,canon,hash,depth,status,superstep,interval,ua — sort by seq = reference order
+      attempts: DataFrame, // every fetch attempt incl. misses
+      seen: DataFrame, // hash, hash64
+      metrics: Map[String, Long], // the reference's 7 counters (metrics.go:45-55)
+      steps: Vector[StepStat])
+
+  /** Prepare the pages side of the fetch join once: canonical key + hash64,
+    * hash-partitioned (the Iceberg-table layout stand-in; on a real cluster
+    * this is the bucketed/partitioned Iceberg table, SURVEY.md §7.6). */
+  def preparePages(pages: DataFrame, partitions: Int): DataFrame =
+    pages
+      .withColumn("canon", Udfs.canonicalize(col("url")))
+      .where(col("canon").isNotNull)
+      .withColumn("hash64", xxhash64(col("canon")))
+      .select(col("canon"), col("hash64"), col("url").as("page_url"), col("html"), col("text"))
+      .repartition(partitions, col("canon"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Seed frontier (crawler.go:109-147): parse all, abort on ANY invalid,
+    * error on zero valid; seeds enqueued in argument order at depth 0 with
+    * round-robin UA; the seen store is NOT pre-marked (Q4a quirk). */
+  def seedFrontier(spark: SparkSession, seeds: Seq[String], cfg: CrawlConfig): DataFrame = {
+    import spark.implicits._
+    val parsed = seeds.map(s => s -> UrlFuncs.newUrl(s))
+    val errs = parsed.collect { case (s, Left(e)) => s"$s: $e" }
+    if (errs.nonEmpty) throw new IllegalArgumentException(s"invalid links: ${errs.mkString("; ")}")
+    if (parsed.isEmpty) throw new IllegalArgumentException("no valid links")
+    val rows = parsed.zipWithIndex.collect { case ((_, Right(p)), i) =>
+      (p.urlStr, p.canon, p.hash, p.host, p.root, 0, i.toLong, cfg.uaFor(i))
+    }
+    spark.createDataset(rows)
+      .toDF("url", "canon", "hash", "host", "root", "depth", "seq", "ua")
+      .withColumn("hash64", xxhash64(col("canon")))
+  }
+
+  private final case class State(
+      frontier: DataFrame, seen: DataFrame, bloom: Array[Array[Long]],
+      metrics: mutable.Map[String, Long], seqBase: Long, startDepth: Int,
+      orderParts: mutable.ArrayBuffer[DataFrame],
+      attemptParts: mutable.ArrayBuffer[DataFrame])
+
+  def run(spark: SparkSession, pages: DataFrame, seeds: Seq[String], cfg: CrawlConfig,
+      saltedPoliteness: Boolean = false): CrawlRun = {
+    val pagesPrep = preparePages(pages, cfg.partitions)
+    try runPrepared(spark, pagesPrep, seeds, cfg, saltedPoliteness)
+    finally { pagesPrep.unpersist(); () }
+  }
+
+  def runPrepared(spark: SparkSession, pagesPrep: DataFrame, seeds: Seq[String],
+      cfg: CrawlConfig, saltedPoliteness: Boolean = false): CrawlRun = {
+    import spark.implicits._
+    val frontier = seedFrontier(spark, seeds, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    val seqBase = frontier.count()
+    val seen = spark.emptyDataset[(String, Long)].toDF("hash", "hash64")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = mutable.Map(
+      "total_requests" -> 0L, "successful_requests" -> 0L, "failed_requests" -> 0L,
+      "total_link" -> 0L, "crawled_link" -> 0L, "skipped_link" -> 0L,
+      "duplicated_link" -> 0L)
+    crawlLoop(spark, pagesPrep, cfg, saltedPoliteness,
+      State(frontier, seen, newBloom(cfg), m, seqBase, 0,
+        mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
+  }
+
+  /** Resume from the last committed superstep in cfg.checkpointDir: reload
+    * frontier/seen/metrics/seq watermark and continue the loop; previously
+    * committed crawled/attempt deltas are folded into the result. */
+  def resumePrepared(spark: SparkSession, pagesPrep: DataFrame, cfg: CrawlConfig,
+      saltedPoliteness: Boolean = false): CrawlRun = {
+    val st = new Storage(cfg.checkpointDir.getOrElse(
+      throw new IllegalArgumentException("resume requires checkpointDir")))
+    val snap = st.readManifest().getOrElse(
+      throw new IllegalStateException("no committed snapshot to resume from"))
+    val frontier = st.readFrontier(spark, snap.lastStep).persist(StorageLevel.MEMORY_AND_DISK)
+    val seen = st.readSeen(spark, snap.lastStep)
+      .getOrElse {
+        import spark.implicits._
+        spark.emptyDataset[(String, Long)].toDF("hash", "hash64")
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    val bloom = newBloom(cfg)
+    if (bloom != null && !seen.isEmpty)
+      BloomSeen.updateSegments(spark, bloom, seen.select("hash64"), cfg.partitions)
+    val orderParts = mutable.ArrayBuffer.empty[DataFrame]
+    st.readCrawled(spark, snap.lastStep).foreach(orderParts += _)
+    val attemptParts = mutable.ArrayBuffer.empty[DataFrame]
+    st.readAttempts(spark, snap.lastStep).foreach(attemptParts += _)
+    crawlLoop(spark, pagesPrep, cfg, saltedPoliteness,
+      State(frontier, seen, bloom, mutable.Map(snap.metrics.toSeq: _*), snap.seqBase,
+        snap.lastStep + 1, orderParts, attemptParts))
+  }
+
+  private def newBloom(cfg: CrawlConfig): Array[Array[Long]] =
+    if (cfg.bloomEnabled)
+      Array.fill(cfg.partitions)(
+        new Array[Long](BloomSeen.bitsFor(1L << 16, cfg.bloomBitsPerKey) / 64))
+    else null
+
+  private def crawlLoop(spark: SparkSession, pagesPrep: DataFrame, cfg: CrawlConfig,
+      saltedPoliteness: Boolean, st0: State): CrawlRun = {
+    import spark.implicits._
+    var frontier = st0.frontier
+    var seen = st0.seen
+    val bloom = st0.bloom
+    val m = st0.metrics
+    var seqBase = st0.seqBase
+    val orderParts = st0.orderParts
+    val attemptParts = st0.attemptParts
+    val steps = mutable.ArrayBuffer.empty[StepStat]
+    val storage = cfg.checkpointDir.map(new Storage(_))
+    storage.foreach(_.init())
+
+    var d = st0.startDepth
+    var stepsRun = 0
+    var frontierSize = frontier.count()
+    while (d <= cfg.maxDepth && frontierSize > 0 && stepsRun < cfg.maxSupersteps) {
+      stepsRun += 1
+      val t0 = System.nanoTime()
+      m("total_requests") += frontierSize
+
+      // R1: politeness schedule — rate-interval slots within this depth
+      val scheduled = Politeness.assignIntervals(frontier, cfg, saltedPoliteness)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val maxIvRow = scheduled.agg(max(col("interval"))).first()
+      val nIntervals = (if (maxIvRow.isNullAt(0)) 0 else maxIvRow.getInt(0)) + 1
+
+      // S2: the fetch = left join against the pages snapshot on canonical key.
+      // strictPoliteness physically drains one rate interval at a time
+      // (schedule-faithful); default joins the whole depth at once (the
+      // interval column still records the schedule).
+      def fetchJoin(fr: DataFrame): DataFrame =
+        fr.join(pagesPrep.drop("hash64"), Seq("canon"), "left")
+      val joined = (
+        if (cfg.strictPoliteness && nIntervals > 1)
+          (0 until nIntervals).map(i => fetchJoin(scheduled.where(col("interval") === i)))
+            .reduce(_ unionByName _)
+        else fetchJoin(scheduled)
+      ).persist(StorageLevel.MEMORY_AND_DISK)
+
+      val hits = joined.where(col("html").isNotNull)
+      val fetched = hits.count()
+      val failed = frontierSize - fetched
+      m("successful_requests") += fetched
+      m("failed_requests") += failed
+
+      // localCheckpoint: these outlive the per-superstep caches they derive from
+      attemptParts += joined.select(col("seq"), col("canon"), col("depth"),
+        col("html").isNotNull.as("hit"), lit(d).as("superstep")).localCheckpoint(true)
+      orderParts += hits.select(col("seq"), col("url"), col("canon"), col("hash"),
+        col("depth"), lit(200).as("status"), lit(d).as("superstep"), col("interval"), col("ua"))
+        .localCheckpoint(true)
+
+      var freshCount = 0L
+      var candTotal = 0L
+      var passedCount = 0L
+      var seenDelta: Option[DataFrame] = None
+      if (d < cfg.maxDepth && fetched > 0) { // Q5: expand only when depth+1 ≤ maxDepth
+        // F4+F5+F1+F3: extract (on the MaxBodySize-truncated body,
+        // http_client.go:117-123) → resolve → validate; drops are silent
+        val exploded = hits.select(
+          col("seq").as("parent_seq"), col("url").as("parent_url"),
+          col("root").as("parent_root"), col("ua"),
+          posexplode(Udfs.extractLinks(col("html"), lit(cfg.maxBodySize))).as(Seq("link_pos", "href")))
+        val cands = exploded
+          .withColumn("cand", Udfs.resolveCandidate(col("parent_url"), col("href")))
+          .where(col("cand").isNotNull)
+          .select(col("parent_seq"), col("link_pos"), col("ua"), col("parent_root"),
+            col("cand.url").as("url"), col("cand.canon").as("canon"),
+            col("cand.hash").as("hash"), col("cand.host").as("host"),
+            col("cand.root").as("root"), col("cand.path").as("path"))
+          .withColumn("hash64", xxhash64(col("canon")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        candTotal = cands.count()
+        m("total_link") += candTotal
+
+        // Q1: substring same-root (crawler.go:252-255 — contains, not suffix)
+        var passed = cands.where(col("host").contains(col("parent_root")))
+        // Q2: robots. Reference parity = allow-all no-op (robot.go:35-38);
+        // standard mode enforces host-keyed prefix rules on the candidate.
+        if (cfg.robotsStandardMode && cfg.robots.nonEmpty) {
+          val allowed = Udfs.robotsAllowedUdf(cfg.robots)
+          passed = passed.where(allowed(col("host"), col("path"), col("ua")))
+        }
+        // Q3: bad-extension (+ rule engine when configured) — filter.go:30-57
+        passed =
+          if (cfg.filterRules.isEmpty) passed.where(!col("path").rlike(badExtRegex))
+          else passed.where(Udfs.filterAllowUdf(cfg.filterRules)(col("root"), col("path"), col("url")))
+        passed = passed.persist(StorageLevel.MEMORY_AND_DISK)
+        passedCount = passed.count()
+        m("skipped_link") += candTotal - passedCount
+
+        // Q4a: in-batch first occurrence — discovery order (parent_seq, link_pos)
+        val w = Window.partitionBy(col("hash")).orderBy(col("parent_seq"), col("link_pos"))
+        val firsts = passed.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+
+        // Q4b: cross-superstep dedup — Bloom segment pre-filter (no false
+        // negatives → misses are definitely fresh), exact anti-join backstop
+        val fresh0 =
+          if (bloom != null) {
+            val segB = spark.sparkContext.broadcast(bloom)
+            val p = cfg.partitions
+            val might = udf((h64: Long) =>
+              BloomSeen.mightContain(segB.value(Math.floorMod(h64, p.toLong).toInt), h64))
+            val sure = firsts.where(!might(col("hash64")))
+            val suspect = firsts.where(might(col("hash64")))
+              .join(seen.select("hash"), Seq("hash"), "left_anti")
+            sure.unionByName(suspect)
+          } else firsts.join(seen.select("hash"), Seq("hash"), "left_anti")
+
+        // O1: reify FIFO order — scalable global rank over discovery order
+        val ranked = Ranks.globalRank(fresh0, Seq(col("parent_seq"), col("link_pos")),
+          "__rank", cfg.partitions)
+        val fresh = ranked
+          .withColumn("seq", col("__rank") - 1 + lit(seqBase))
+          .withColumn("depth", lit(d + 1))
+          .select(col("url"), col("canon"), col("hash"), col("hash64"),
+            col("host"), col("root"), col("depth"), col("seq"), col("ua"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        freshCount = fresh.count()
+        m("duplicated_link") += passedCount - freshCount
+        m("crawled_link") += freshCount
+        seqBase += freshCount
+
+        // union is narrow (no shuffle); localCheckpoint truncates lineage so
+        // the seen set never re-derives across supersteps. (On a real cluster
+        // this is an append to the bucketed seen table — Storage does exactly
+        // that when a checkpointDir is configured.)
+        val oldSeen = seen
+        seen = seen.unionByName(fresh.select(col("hash"), col("hash64"))).localCheckpoint(true)
+        if (bloom != null) BloomSeen.updateSegments(spark, bloom, fresh.select("hash64"), cfg.partitions)
+        oldSeen.unpersist()
+        seenDelta = Some(fresh.select(col("hash"), col("hash64")))
+
+        val oldFrontier = frontier
+        frontier = fresh.localCheckpoint(true)
+        oldFrontier.unpersist()
+        fresh.unpersist()
+        cands.unpersist()
+        passed.unpersist()
+      } else {
+        val oldFrontier = frontier
+        frontier = spark.emptyDataset[FrontierRow].toDF
+        oldFrontier.unpersist()
+      }
+
+      // atomic superstep commit: frontier, seen delta, crawled delta,
+      // attempts delta, metrics, seq watermark
+      storage.foreach { s =>
+        s.commitStep(d, frontier, seenDelta, orderParts.last, attemptParts.last, m.toMap, seqBase)
+      }
+
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      steps += StepStat(d, frontierSize, fetched, failed, candTotal, passedCount, freshCount,
+        nIntervals, wallMs)
+      scheduled.unpersist()
+      joined.unpersist()
+
+      frontierSize = if (d < cfg.maxDepth) frontier.count() else 0L
+      d += 1
+    }
+
+    val order = orderParts.reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataset[(Long, String, String, String, Int, Int, Int, Int, String)]
+        .toDF("seq", "url", "canon", "hash", "depth", "status", "superstep", "interval", "ua"))
+    val attempts = attemptParts.reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataset[(Long, String, Int, Boolean, Int)]
+        .toDF("seq", "canon", "depth", "hit", "superstep"))
+    CrawlRun(order, attempts, seen, m.toMap, steps.toVector)
+  }
+}

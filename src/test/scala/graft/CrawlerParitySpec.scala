@@ -1,0 +1,118 @@
+package graft
+
+import graft.wbot._
+import graft.wbot.Schemas._
+
+/**
+ * The exact-match criteria of BASELINE.json: identical crawl ordering and
+ * final URL-seen set vs the reference's sequential semantics, given the same
+ * seed list and politeness budget — verified by replaying the Spark engine
+ * against the Oracle simulator on fixture site graphs, across configs
+ * covering every quirk cluster (SURVEY.md §7.4).
+ */
+class CrawlerParitySpec extends SparkSuite {
+
+  private def assertParity(spec: Fixtures.SiteSpec, seeds: Seq[String], cfg: CrawlConfig,
+      salted: Boolean = false): SparkCrawler.CrawlRun = {
+    val oracle = Oracle.run(Fixtures.oraclePages(spec), seeds, cfg)
+    val run = SparkCrawler.run(spark, SparkTestBase.pagesDf(spec), seeds, cfg, salted)
+
+    // crawl order: engine rows sorted by seq must equal the oracle stream
+    val engineOrder = run.order.orderBy("seq")
+      .select("seq", "url", "canon", "hash", "depth", "ua")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getInt(4), r.getString(5)))
+      .toVector
+    val oracleOrder = oracle.order.map(c => (c.seq, c.url, c.canon, c.hash, c.depth, c.ua))
+    assert(engineOrder == oracleOrder, "crawl order mismatch")
+
+    // URL-seen set: exact equality
+    val engineSeen = run.seen.select("hash").collect().map(_.getString(0)).toSet
+    assert(engineSeen == oracle.seen, "seen set mismatch")
+
+    // all fetch attempts (incl. failures), as (seq, canon, depth, hit)
+    val engineAttempts = run.attempts.orderBy("seq")
+      .select("seq", "canon", "depth", "hit").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3))).toVector
+    assert(engineAttempts == oracle.attempts, "attempts mismatch")
+
+    // the 7 reference metrics counters
+    assert(run.metrics == oracle.metrics, "metrics mismatch")
+    run
+  }
+
+  private val tiny = Fixtures.tiny
+  private val tinySeeds = Fixtures.seeds(tiny)
+
+  test("parity: tiny site, default config, maxDepth 3 (bloom on)") {
+    assertParity(tiny, tinySeeds, CrawlConfig(maxDepth = 3, partitions = 4))
+  }
+
+  test("parity: bloom disabled gives identical results") {
+    assertParity(tiny, tinySeeds, CrawlConfig(maxDepth = 3, partitions = 4, bloomEnabled = false))
+  }
+
+  test("parity: strict politeness (physical per-interval drain), small budget") {
+    val cfg = CrawlConfig(maxDepth = 3, partitions = 4, strictPoliteness = true,
+      rateLimits = Map("*" -> Budget(3, 1000L)))
+    val run = assertParity(tiny, tinySeeds, cfg)
+    // politeness property: no (root-interval) slot exceeds its budget
+    val over = run.order.groupBy("superstep", "interval")
+      .count().collect().filter(_.getLong(2) > 3L * tiny.nHosts)
+    assert(over.isEmpty)
+  }
+
+  test("parity: salted politeness schedule does not change order/seen/metrics") {
+    assertParity(tiny, tinySeeds, CrawlConfig(maxDepth = 3, partitions = 4), salted = true)
+  }
+
+  test("parity: filter rules engine (default-deny-once-a-rule-exists quirk)") {
+    val rules = Map(
+      Fixtures.rootOf(tiny, 1) -> FilterRule(Fixtures.rootOf(tiny, 1),
+        allow = List("/d1/"), disallow = List("/d2/")))
+    assertParity(tiny, tinySeeds, CrawlConfig(maxDepth = 3, partitions = 4, filterRules = rules))
+  }
+
+  test("parity: wildcard filter rule applies to all hosts") {
+    val rules = Map("*" -> FilterRule("*", allow = List("p[0-9]+$"), disallow = List("/d0/")))
+    assertParity(tiny, tinySeeds, CrawlConfig(maxDepth = 2, partitions = 4, filterRules = rules))
+  }
+
+  test("parity: standard robots mode (host-keyed disallow prefixes)") {
+    val robots = Seq(
+      RobotsRule(Fixtures.hostName(tiny, 0), "*", "/d1/"),
+      RobotsRule(Fixtures.hostName(tiny, 2), "WBot", "/d2/"))
+    assertParity(tiny, tinySeeds, CrawlConfig(maxDepth = 3, partitions = 4,
+      robots = robots, robotsStandardMode = true))
+  }
+
+  test("parity: duplicate seed in seed list crawls twice (seeds not pre-marked)") {
+    val seeds = Seq(Fixtures.pageUrl(tiny, 0, 0), Fixtures.pageUrl(tiny, 0, 0))
+    assertParity(tiny, seeds, CrawlConfig(maxDepth = 2, partitions = 4))
+  }
+
+  test("parity: multiple user agents rotate per seed and stay sticky per branch") {
+    val cfg = CrawlConfig(maxDepth = 2, partitions = 4,
+      userAgents = Vector("UA-Alpha/1.0", "UA-Beta/2.0"))
+    assertParity(tiny, tinySeeds, cfg)
+  }
+
+  test("parity: maxBodySize truncation changes extraction identically") {
+    // small cap cuts most pages mid-way: truncated-extraction parity
+    assertParity(tiny, tinySeeds, CrawlConfig(maxDepth = 2, partitions = 4, maxBodySize = 400L))
+  }
+
+  test("invalid seed aborts the whole run (crawler.go:124-130)") {
+    val seeds = Seq(Fixtures.pageUrl(tiny, 0, 0), "http://bad.unknowntld/x")
+    intercept[IllegalArgumentException] {
+      SparkCrawler.run(spark, SparkTestBase.pagesDf(tiny), seeds, CrawlConfig(maxDepth = 1))
+    }
+    intercept[IllegalArgumentException] { Oracle.run(Map.empty, seeds, CrawlConfig(maxDepth = 1)) }
+  }
+
+  test("zero seeds is an error (crawler.go:128-130)") {
+    intercept[IllegalArgumentException] {
+      SparkCrawler.run(spark, SparkTestBase.pagesDf(tiny), Seq.empty, CrawlConfig())
+    }
+  }
+}
