@@ -1,13 +1,359 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.wbot.{Fixtures, Schemas, SparkCrawler}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/**
+ * Driver contract — operator-level demonstrations of the engine's building
+ * blocks (SURVEY.md §2) over the driver test tables, each with a DuckDB
+ * oracle where ANSI-SQL-expressible; plus the training-data pipeline
+ * operators (dedup family, similarity search, text analysis, multimodal
+ * plumbing) as first-class queries.
+ *
+ * Engine-portability rules used throughout (so value-hash comparison against
+ * DuckDB is exact): integer arithmetic or ×1000 floor-quantized ratios
+ * instead of float math; md5/sha2 digests instead of platform hashes;
+ * explicit unique tie-breakers in every window; BIGINT row_numbers.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: end-to-end crawl of a deterministic synthetic web (the whole
+    * engine: seed parse → politeness → fetch-join → extract → filters →
+    * dedup → rank). Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val spec = Fixtures.SiteSpec(nHosts = 3, pagesPerHost = 8)
+    val pages = Fixtures.allPages(spec)
+      .map(p => (p.url, new java.sql.Timestamp(p.warcTsMs), p.html, p.text, p.lang))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val run = SparkCrawler.run(spark, pages, Fixtures.seeds(spec),
+      Schemas.CrawlConfig(maxDepth = 2, partitions = 4))
+    run.order.orderBy("seq").select("seq", "depth", "url", "canon", "hash")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- crawl-loop operators on the driver tables (SURVEY.md §2) ----
+    "q01_sha_identity" -> ((s, d) => // F3: content identity digest
+      t(s, d, "documents").select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))),
+
+    "q02_dedup_anti" -> ((s, d) => { // Q4b: seen-set as anti-join (time-scoped)
+      val e = t(s, d, "events")
+      val frontier = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val seen = e.where(col("event_type") === "signup")
+        .select(col("user_id").as("su"), col("ts").as("sts"))
+      frontier.join(seen, frontier("user_id") === col("su") && col("sts") < frontier("ts"), "left_anti")
+        .select(col("event_id"), col("user_id"))
+    }),
+
+    "q03_budget_window" -> ((s, d) => { // R1: per-key budget drain
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3).select(col("event_id"), col("user_id"), col("rn"))
+    }),
+
+    "q04_interval_assign" -> ((s, d) => { // R1: rate-interval slots
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, d, "events").withColumn("rn", row_number().over(w))
+        .select(col("event_id"), col("user_id"),
+          floor((col("rn") - 1) / 5.0).cast("int").as("iv"))
+    }),
+
+    "q05_first_occurrence" -> ((s, d) => { // Q4a: in-batch first-occurrence dedup
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select(col("user_id"), col("event_type"), col("event_id"))
+    }),
+
+    "q06_union_rerank" -> ((s, d) => { // deferral: union + re-rank
+      val e = t(s, d, "events")
+      val a = e.where(col("value") > 150).select(col("user_id"), col("event_id"), lit("hi").as("src"))
+      val b = e.where(col("event_type") === "click").select(col("user_id"), col("event_id"), lit("click").as("src"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"), col("src"))
+      a.unionByName(b).withColumn("rn", row_number().over(w).cast("long"))
+    }),
+
+    "q07_metrics_agg" -> ((s, d) => // A1: counter aggregation
+      t(s, d, "events").groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("total_value"))),
+
+    "q08_contains_scope" -> ((s, d) => // Q1: substring containment scope
+      t(s, d, "documents").where(col("source").contains("1"))
+        .select(col("doc_id"), col("source"))),
+
+    "q09_regex_filter" -> ((s, d) => // Q3/F8: regex predicate
+      t(s, d, "documents").where(col("source").rlike("^src1[0-9]$"))
+        .select(col("doc_id"), col("source"))),
+
+    "q10_seen_union" -> ((s, d) => { // §2.9: seen-set union-distinct
+      val doc = t(s, d, "documents")
+      doc.where(col("doc_id") % 2 === 0).select(sha2(col("text"), 256).as("h"))
+        .unionByName(doc.where(col("doc_id") % 3 === 0).select(sha2(col("text"), 256).as("h")))
+        .distinct()
+    }),
+
+    "q11_tokens_freq" -> ((s, d) => // F4-ish generator: explode + agg
+      TextAnalysis.tokenFrequencies(t(s, d, "documents"), "text", 5L)),
+
+    // ---- training-data pipeline: dedup family ----
+    "q12_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")),
+
+    "q13_prefix_key" -> ((s, d) =>
+      Dedup.prefixKey(t(s, d, "documents"), "doc_id", "text", 8)),
+
+    "q14_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(t(s, d, "documents").where(col("doc_id") < 200),
+        "doc_id", "text", 6, 4)),
+
+    "q15_minhash_pairs" -> ((s, d) => {
+      val sigs = Dedup.minhashSignatures(t(s, d, "documents").where(col("doc_id") < 200),
+        "doc_id", "text", 6, 4)
+      Dedup.minhashBandPairs(sigs, "doc_id", 4, 2)
+    }),
+
+    "q16_ngram_jaccard" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val a = doc.where(col("doc_id") < 100).select(col("doc_id").as("id_a"))
+      val pairs = a.withColumn("id_b", col("id_a") + 1)
+      Dedup.ngramJaccard(doc.where(col("doc_id") < 101), "doc_id", "text", 2, pairs)
+        .select(col("id_a"), col("id_b"),
+          floor(col("n_common") * 1000.0 / (col("n_a") + col("n_b") - col("n_common")))
+            .cast("int").as("jaccard_x1000"))
+    }),
+
+    "q17_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 80L, 1L)),
+
+    "q25_simhash" -> ((s, d) => // no SQL oracle: xxhash64 is engine-specific
+      Dedup.simhash64(t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")),
+
+    // ---- similarity search ----
+    "q18_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 3)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    "q26_lsh_ann" -> ((s, d) => { // no SQL oracle: xxhash64 hyperplanes
+      val emb = t(s, d, "embeddings")
+      Similarity.lshBucketTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 3, 8)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // ---- text analysis ----
+    "q19_lang_id" -> ((s, d) => TextAnalysis.langId(t(s, d, "documents"), "doc_id", "text")),
+    "q20_quality" -> ((s, d) => TextAnalysis.qualityScore(t(s, d, "documents"), "doc_id", "text")),
+    "q21_token_counts" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"), "doc_id", "text")),
+    "q22_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- multimodal plumbing ----
+    "q23_multimodal_meta" -> ((s, d) =>
+      Multimodal.binaryMeta(
+        t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload")),
+
+    "q27_multimodal_decode" -> ((s, d) => { // no SQL oracle: stubbed decoder
+      Multimodal.decodeMeta(s, t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary")), "doc_id", "payload")
+        .toDF().select(col("id"), col("n_bytes"), col("magic_hex"), col("width"), col("height"))
+    }),
+
+    // ---- the whole engine, end-to-end (no SQL oracle: UDF pipeline) ----
+    "q24_crawl_tiny" -> ((s, _) => {
+      import s.implicits._
+      val spec = Fixtures.SiteSpec(nHosts = 3, pagesPerHost = 8)
+      val pages = Fixtures.allPages(spec)
+        .map(p => (p.url, new java.sql.Timestamp(p.warcTsMs), p.html, p.text, p.lang))
+        .toDF("url", "warc_ts", "html", "text", "lang")
+      val run = SparkCrawler.run(s, pages, Fixtures.seeds(spec),
+        Schemas.CrawlConfig(maxDepth = 2, partitions = 4))
+      run.order.orderBy("seq").select("seq", "depth", "url", "canon", "hash")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_sha_identity" ->
+      "SELECT doc_id, sha256(text) AS content_hash FROM documents",
+
+    "q02_dedup_anti" ->
+      """SELECT event_id, user_id FROM events e
+        |WHERE event_type = 'purchase'
+        |  AND NOT EXISTS (SELECT 1 FROM events s
+        |                  WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        |                    AND s.ts < e.ts)""".stripMargin,
+
+    "q03_budget_window" ->
+      """SELECT event_id, user_id, rn FROM (
+        |  SELECT event_id, user_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+
+    "q04_interval_assign" ->
+      """SELECT event_id, user_id, CAST(floor((rn - 1) / 5.0) AS INTEGER) AS iv FROM (
+        |  SELECT event_id, user_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events)""".stripMargin,
+
+    "q05_first_occurrence" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q06_union_rerank" ->
+      """SELECT user_id, event_id, src,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY event_id, src) AS rn
+        |FROM (SELECT user_id, event_id, 'hi' AS src FROM events WHERE value > 150
+        |      UNION ALL
+        |      SELECT user_id, event_id, 'click' AS src FROM events WHERE event_type = 'click')""".stripMargin,
+
+    "q07_metrics_agg" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q08_contains_scope" ->
+      "SELECT doc_id, source FROM documents WHERE source LIKE '%1%'",
+
+    "q09_regex_filter" ->
+      "SELECT doc_id, source FROM documents WHERE regexp_matches(source, '^src1[0-9]$')",
+
+    "q10_seen_union" ->
+      """SELECT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0
+        |UNION
+        |SELECT sha256(text) AS h FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+
+    "q11_tokens_freq" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> '' GROUP BY token HAVING count(*) >= 5""".stripMargin,
+
+    "q12_dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+
+    "q13_prefix_key" ->
+      """SELECT doc_id, md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_key
+        |FROM documents""".stripMargin,
+
+    "q14_minhash_sig" ->
+      """SELECT doc_id,
+        |  min(md5(shingle || '#0')) AS sig_0, min(md5(shingle || '#1')) AS sig_1,
+        |  min(md5(shingle || '#2')) AS sig_2, min(md5(shingle || '#3')) AS sig_3
+        |FROM (SELECT doc_id, substr(text, CAST(i AS INTEGER), 6) AS shingle
+        |      FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 5)) AS i
+        |            FROM documents WHERE doc_id < 200 AND length(text) >= 6))
+        |GROUP BY doc_id""".stripMargin,
+
+    "q15_minhash_pairs" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    min(md5(shingle || '#0')) AS sig_0, min(md5(shingle || '#1')) AS sig_1,
+        |    min(md5(shingle || '#2')) AS sig_2, min(md5(shingle || '#3')) AS sig_3
+        |  FROM (SELECT doc_id, substr(text, CAST(i AS INTEGER), 6) AS shingle
+        |        FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 5)) AS i
+        |              FROM documents WHERE doc_id < 200 AND length(text) >= 6))
+        |  GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id AS id, 0 AS band, md5(sig_0 || '|' || sig_1) AS bucket FROM sig
+        |  UNION ALL
+        |  SELECT doc_id AS id, 1 AS band, md5(sig_2 || '|' || sig_3) AS bucket FROM sig)
+        |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id""".stripMargin,
+
+    "q16_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 101),
+        |grams AS (SELECT DISTINCT doc_id, t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1] AS gram
+        |          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |                FROM toks WHERE len(t) >= 2)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents WHERE doc_id < 100),
+        |common AS (SELECT p.id_a, p.id_b, count(*) AS n_common
+        |           FROM pairs p
+        |           JOIN grams ga ON ga.doc_id = p.id_a
+        |           JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+        |           GROUP BY p.id_a, p.id_b)
+        |SELECT c.id_a, c.id_b,
+        |       CAST(floor(c.n_common * 1000.0 / (sa.n + sb.n - c.n_common)) AS INTEGER) AS jaccard_x1000
+        |FROM common c
+        |JOIN sizes sa ON sa.doc_id = c.id_a
+        |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin,
+
+    "q17_embed_neardup" ->
+      """WITH q AS (SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qx
+        |           FROM (SELECT vec_id, unnest(embedding) AS x,
+        |                        generate_subscripts(embedding, 1) AS i
+        |                 FROM embeddings WHERE vec_id < 80))
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(sum(a.qx * b.qx) AS BIGINT) AS qdot
+        |FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
+        |GROUP BY a.vec_id, b.vec_id HAVING sum(a.qx * b.qx) >= 1""".stripMargin,
+
+    "q18_ann_topk" ->
+      """WITH v AS (SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qx
+        |           FROM (SELECT vec_id, unnest(embedding) AS x,
+        |                        generate_subscripts(embedding, 1) AS i
+        |                 FROM embeddings)),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS nbr_id, CAST(sum(q.qx * c.qx) AS BIGINT) AS qdot
+        |           FROM v q JOIN v c ON q.i = c.i AND c.vec_id <> q.vec_id
+        |           WHERE q.vec_id < 5 GROUP BY q.vec_id, c.vec_id)
+        |SELECT query_id, nbr_id, qdot, rank FROM (
+        |  SELECT query_id, nbr_id, qdot,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, nbr_id) AS rank
+        |  FROM scored) WHERE rank <= 3""".stripMargin,
+
+    "q19_lang_id" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(list_filter(string_split(text,' '), x -> x='der')) + len(list_filter(string_split(text,' '), x -> x='die')) + len(list_filter(string_split(text,' '), x -> x='und')) + len(list_filter(string_split(text,' '), x -> x='ist')) AS score_de,
+        |  len(list_filter(string_split(text,' '), x -> x='the')) + len(list_filter(string_split(text,' '), x -> x='and')) + len(list_filter(string_split(text,' '), x -> x='of')) + len(list_filter(string_split(text,' '), x -> x='is')) AS score_en,
+        |  len(list_filter(string_split(text,' '), x -> x='el')) + len(list_filter(string_split(text,' '), x -> x='los')) + len(list_filter(string_split(text,' '), x -> x='y')) + len(list_filter(string_split(text,' '), x -> x='es')) AS score_es,
+        |  len(list_filter(string_split(text,' '), x -> x='le')) + len(list_filter(string_split(text,' '), x -> x='la')) + len(list_filter(string_split(text,' '), x -> x='et')) + len(list_filter(string_split(text,' '), x -> x='est')) AS score_fr
+        |FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+        |       WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+        |       WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+        |       WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+        |       ELSE 'fr' END AS pred_lang,
+        |  CAST(score_de + score_en + score_es + score_fr AS BIGINT) AS n_markers
+        |FROM s""".stripMargin,
+
+    "q20_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','and','of','is','der','die','und','ist','le','la','et','est','el','los','y','es'))) AS BIGINT) AS n_stopwords,
+        |  CAST(floor(length(text) * 1000.0 / greatest(len(string_split(text, ' ')), 1)) AS BIGINT) AS chars_per_token_x1000,
+        |  CAST(floor(len(list_filter(string_split(text,' '), x -> x IN ('the','and','of','is','der','die','und','ist','le','la','et','est','el','los','y','es'))) * 1000.0 / greatest(len(string_split(text, ' ')), 1)) AS BIGINT) AS stopword_ratio_x1000,
+        |  CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 1 ELSE 0 END AS length_ok
+        |FROM documents""".stripMargin,
+
+    "q21_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+
+    "q22_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+        |  sha256(text) AS exact_hash
+        |FROM documents""".stripMargin,
+
+    "q23_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
+        |FROM documents""".stripMargin
+  )
 }

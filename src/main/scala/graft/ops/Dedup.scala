@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication operators for large-scale training-data pipelines —
+ * each expressed as declarative DataFrame transforms (Catalyst-optimizable;
+ * shuffles only on the dedup keys, map-side partial aggregation free).
+ *
+ * Scale notes (100 TB): every operator here keys its shuffle on a
+ * fixed-width hash (or short fingerprint) rather than raw text, so shuffle
+ * payload stays O(rows × key), not O(corpus). MinHash/LSH follows the
+ * classic shingle → signature → band-bucket-join construction (Broder 1997;
+ * Leskovec–Rajaraman–Ullman ch. 3), which replaces the O(n²) pair space
+ * with per-bucket candidate pairs.
+ */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content digest; keeps the smallest id per
+    * group (deterministic winner). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Cheap near-dup candidate key: digest of the first k tokens (prefix
+    * fingerprint). */
+  def prefixKey(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol),
+      md5(concat_ws(" ", slice(split(col(textCol), " "), 1, k))).as("prefix_key"))
+
+  /** Character shingles with positions: (id, shingle) — distributed via
+    * explode(sequence), no driver loop. */
+  def charShingles(df: DataFrame, idCol: String, textCol: String, width: Int): DataFrame =
+    df.select(col(idCol), col(textCol))
+      .where(length(col(textCol)) >= width)
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col(textCol)) - (width - 1))).as("pos"),
+        col(textCol))
+      .select(col(idCol), expr(s"substring($textCol, pos, $width)").as("shingle"))
+
+  /**
+   * MinHash signatures over character shingles: `numHashes` independent
+   * permutations simulated as min over md5(shingle ⊕ seed) (hex strings
+   * order lexicographically — engine-portable, no platform hash needed).
+   * Output: id, sig_0..sig_{k-1}.
+   */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int, numHashes: Int): DataFrame = {
+    val sh = charShingles(df, idCol, textCol, shingleWidth).distinct()
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"sig_$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * LSH banding: group signature columns into bands, bucket-join docs sharing
+   * a band value → candidate near-dup pairs (a < b). The join is per-bucket:
+   * no O(n²) blowup as long as bucket sizes stay bounded.
+   */
+  def minhashBandPairs(sigs: DataFrame, idCol: String, numHashes: Int, bandSize: Int): DataFrame = {
+    val bands = (0 until numHashes / bandSize).map { b =>
+      val cols = (b * bandSize until (b + 1) * bandSize).map(i => col(s"sig_$i"))
+      sigs.select(col(idCol).as("id"),
+        lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
+    }.reduce(_ unionByName _)
+    val a = bands.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = bands.select(col("band"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Token-n-gram Jaccard similarity for candidate pairs (exact verify stage
+    * after LSH): |A∩B| / |A∪B| over distinct token n-grams. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int,
+      pairs: DataFrame): DataFrame = {
+    val grams = df.select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))"))
+        .as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val ga = grams.select(col("id").as("id_a"), col("gram"))
+    val gb = grams.select(col("id").as("id_b"), col("gram"))
+    val common = pairs.join(ga, Seq("id_a")).join(gb, Seq("id_b", "gram"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_grams").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_grams").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common") / (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
+  /**
+   * SimHash-64 over tokens: per-document signed bit-vote using xxhash64 token
+   * hashes (codegen'd built-in). Near-dups = small hamming distance.
+   */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"v_$i"))
+    val voted = toks.groupBy("id").agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map(i =>
+      when(col(s"v_$i") > 0, expr(s"cast(1 as bigint) << $i")).otherwise(lit(0L)))
+    voted.select(col("id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** Hamming distance between simhashes (for verify-stage pairing). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * Embedding near-dup / similarity via QUANTIZED integer dot product:
+   * floor(x·1000) per component → exact int64 arithmetic, engine-portable
+   * (no float-summation-order ambiguity). Output pairs with qdot ≥ minQdot.
+   */
+  def quantizedDot(vecA: Column, vecB: Column): Column =
+    aggregate(
+      zip_with(vecA, vecB, (a, b) =>
+        floor(a.cast("double") * 1000).cast("long") * floor(b.cast("double") * 1000).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      maxId: Long, minQdot: Long): DataFrame = {
+    val a = emb.where(col(idCol) < maxId).select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = emb.where(col(idCol) < maxId).select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), quantizedDot(col("vec_a"), col("vec_b")).as("qdot"))
+      .where(col("qdot") >= minQdot)
+  }
+}
