@@ -1,5 +1,11 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query (forced to full
+  * execution via the noop sink — `count()` would let Catalyst prune the
+  * computed columns away) plus the end-to-end crawl throughput, as ONE JSON
+  * line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +13,44 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warm-up: JIT + codegen + parquet footer caches (uncounted)
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    catch { case _: Throwable => }
+
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { force(fn(spark, sfDir)); true }
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // crawl throughput at this parallelism (matches CrawlBench methodology)
+    val crawlRate = try {
+      val spec = graft.wbot.Fixtures.SiteSpec(nHosts = 40, pagesPerHost = 100,
+        fanMin = 8, fanRand = 4)
+      val pages = graft.wbot.Fixtures.pagesDf(spark, spec)
+      val cfg = graft.wbot.Schemas.CrawlConfig(maxDepth = 4, partitions = cpus.toInt,
+        recordStreams = false)
+      val prep = graft.wbot.SparkCrawler.preparePages(pages, cpus.toInt)
+      prep.count()
+      val t0 = System.nanoTime()
+      val run = graft.wbot.SparkCrawler.runPrepared(spark, prep, graft.wbot.Fixtures.seedsAll(spec),
+        cfg, saltedPoliteness = true)
+      run.metrics("total_requests") / ((System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable => System.err.println(s"[bench] crawl: ${e.getMessage}"); -1.0 }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl_urls_per_sec":$crawlRate,"cpus":$cpus}""")
     spark.stop()
   }
 }

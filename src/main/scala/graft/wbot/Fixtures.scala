@@ -22,7 +22,9 @@ object Fixtures {
       nHosts: Int,
       pagesPerHost: Int,
       skewFactor: Int = 1, // host 0 holds skewFactor × pagesPerHost pages
-      seed: Long = 42L
+      seed: Long = 42L,
+      fanMin: Int = 3, // leaf out-link fan-out = fanMin + rnd(fanRand)
+      fanRand: Int = 3
   ) {
     val hostPages: Array[Int] =
       Array.tabulate(nHosts)(h => if (h == 0) skewFactor * pagesPerHost else pagesPerHost)
@@ -69,7 +71,7 @@ object Fixtures {
     def tgt(salt: Long): Int = rnd(spec, g, salt, k)
     val a = Vector.newBuilder[String]
     // fan-out: index pages link widely, leaf pages link 3-5
-    val fan = if (l == 0) math.min(10, k) else 3 + rnd(spec, g, 7L, 3)
+    val fan = if (l == 0) math.min(10, k) else spec.fanMin + rnd(spec, g, 7L, spec.fanRand)
     (0 until fan).foreach { j =>
       val t = if (l == 0) (j * math.max(1, k / math.max(1, fan))) % k else tgt(100L + j)
       val p = pathOf(t)
@@ -148,6 +150,24 @@ object Fixtures {
     if (spec.nHosts > 1) Seq(s0, pageUrl(spec, 1, 0)) else Seq(s0)
   }
 
+  /** One seed per host (benchmark mode: the whole synthetic web reachable). */
+  def seedsAll(spec: SiteSpec): Seq[String] =
+    (0 until spec.nHosts).map(h => pageUrl(spec, h, 0))
+
   val tiny: SiteSpec = SiteSpec(nHosts = 3, pagesPerHost = 16, skewFactor = 1)
   val small: SiteSpec = SiteSpec(nHosts = 40, pagesPerHost = 60, skewFactor = 41) // host0 ≈ 50%
+
+  /** Distributed generation of the pages table: `page(spec, i)` is a pure
+    * function of the index, so the same spec materializes bit-identically
+    * whether built driver-side (tests) or via `spark.range` partition-mapped
+    * (benchmarks at scale — generation itself is embarrassingly parallel). */
+  def pagesDf(spark: org.apache.spark.sql.SparkSession, spec: SiteSpec): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(spec.totalPages.toLong)
+      .mapPartitions(_.map { i =>
+        val p = page(spec, i.toInt)
+        (p.url, new java.sql.Timestamp(p.warcTsMs), p.html, p.text, p.lang)
+      })
+      .toDF("url", "warc_ts", "html", "text", "lang")
+  }
 }

@@ -96,7 +96,8 @@ object Schemas {
       bloomEnabled: Boolean = true,
       bloomBitsPerKey: Int = 10,
       checkpointDir: Option[String] = None,
-      maxSupersteps: Int = Int.MaxValue // stop after N supersteps (resume testing / ops)
+      maxSupersteps: Int = Int.MaxValue, // stop after N supersteps (resume testing / ops)
+      recordStreams: Boolean = true // retain order/attempts streams (parity tests, sinks)
   ) {
     def budgetFor(root: String): Budget =
       rateLimits.getOrElse(root, rateLimits.getOrElse("*", Budget(10, 1000L)))

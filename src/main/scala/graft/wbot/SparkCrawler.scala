@@ -151,13 +151,16 @@ object SparkCrawler {
     while (d <= cfg.maxDepth && frontierSize > 0 && stepsRun < cfg.maxSupersteps) {
       stepsRun += 1
       val t0 = System.nanoTime()
-      m("total_requests") += frontierSize
 
-      // R1: politeness schedule — rate-interval slots within this depth
+      // R1: politeness schedule — rate-interval slots within this depth.
+      // One combined agg gives size + interval span (job-count discipline:
+      // every driver action is a scheduling round-trip; keep few per step).
       val scheduled = Politeness.assignIntervals(frontier, cfg, saltedPoliteness)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val maxIvRow = scheduled.agg(max(col("interval"))).first()
-      val nIntervals = (if (maxIvRow.isNullAt(0)) 0 else maxIvRow.getInt(0)) + 1
+      val statRow = scheduled.agg(count(lit(1)), max(col("interval"))).first()
+      frontierSize = statRow.getLong(0)
+      m("total_requests") += frontierSize
+      val nIntervals = (if (statRow.isNullAt(1)) 0 else statRow.getInt(1)) + 1
 
       // S2: the fetch = left join against the pages snapshot on canonical key.
       // strictPoliteness physically drains one rate interval at a time
@@ -178,12 +181,14 @@ object SparkCrawler {
       m("successful_requests") += fetched
       m("failed_requests") += failed
 
-      // localCheckpoint: these outlive the per-superstep caches they derive from
-      attemptParts += joined.select(col("seq"), col("canon"), col("depth"),
-        col("html").isNotNull.as("hit"), lit(d).as("superstep")).localCheckpoint(true)
-      orderParts += hits.select(col("seq"), col("url"), col("canon"), col("hash"),
-        col("depth"), lit(200).as("status"), lit(d).as("superstep"), col("interval"), col("ua"))
-        .localCheckpoint(true)
+      if (cfg.recordStreams) {
+        // localCheckpoint: these outlive the per-superstep caches they derive from
+        attemptParts += joined.select(col("seq"), col("canon"), col("depth"),
+          col("html").isNotNull.as("hit"), lit(d).as("superstep")).localCheckpoint(true)
+        orderParts += hits.select(col("seq"), col("url"), col("canon"), col("hash"),
+          col("depth"), lit(200).as("status"), lit(d).as("superstep"), col("interval"), col("ua"))
+          .localCheckpoint(true)
+      }
 
       var freshCount = 0L
       var candTotal = 0L
@@ -196,6 +201,19 @@ object SparkCrawler {
           col("seq").as("parent_seq"), col("url").as("parent_url"),
           col("root").as("parent_root"), col("ua"),
           posexplode(Udfs.extractLinks(col("html"), lit(cfg.maxBodySize))).as(Seq("link_pos", "href")))
+        // Q1: substring same-root (crawler.go:252-255 — contains, not suffix)
+        var passCond = col("host").contains(col("parent_root"))
+        // Q2: robots. Reference parity = allow-all no-op (robot.go:35-38);
+        // standard mode enforces host-keyed prefix rules on the candidate.
+        if (cfg.robotsStandardMode && cfg.robots.nonEmpty) {
+          val allowed = Udfs.robotsAllowedUdf(cfg.robots)
+          passCond = passCond && allowed(col("host"), col("path"), col("ua"))
+        }
+        // Q3: bad-extension (+ rule engine when configured) — filter.go:30-57
+        passCond = passCond && (
+          if (cfg.filterRules.isEmpty) !col("path").rlike(badExtRegex)
+          else Udfs.filterAllowUdf(cfg.filterRules)(col("root"), col("path"), col("url")))
+
         val cands = exploded
           .withColumn("cand", Udfs.resolveCandidate(col("parent_url"), col("href")))
           .where(col("cand").isNotNull)
@@ -204,25 +222,15 @@ object SparkCrawler {
             col("cand.hash").as("hash"), col("cand.host").as("host"),
             col("cand.root").as("root"), col("cand.path").as("path"))
           .withColumn("hash64", xxhash64(col("canon")))
+          .withColumn("pass", passCond)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        candTotal = cands.count()
+        // one pass over the candidate set for both counters (Q1∧Q2∧Q3 fused)
+        val candStats = cands.agg(count(lit(1)), sum(when(col("pass"), 1L).otherwise(0L))).first()
+        candTotal = candStats.getLong(0)
+        passedCount = if (candStats.isNullAt(1)) 0L else candStats.getLong(1)
         m("total_link") += candTotal
-
-        // Q1: substring same-root (crawler.go:252-255 — contains, not suffix)
-        var passed = cands.where(col("host").contains(col("parent_root")))
-        // Q2: robots. Reference parity = allow-all no-op (robot.go:35-38);
-        // standard mode enforces host-keyed prefix rules on the candidate.
-        if (cfg.robotsStandardMode && cfg.robots.nonEmpty) {
-          val allowed = Udfs.robotsAllowedUdf(cfg.robots)
-          passed = passed.where(allowed(col("host"), col("path"), col("ua")))
-        }
-        // Q3: bad-extension (+ rule engine when configured) — filter.go:30-57
-        passed =
-          if (cfg.filterRules.isEmpty) passed.where(!col("path").rlike(badExtRegex))
-          else passed.where(Udfs.filterAllowUdf(cfg.filterRules)(col("root"), col("path"), col("url")))
-        passed = passed.persist(StorageLevel.MEMORY_AND_DISK)
-        passedCount = passed.count()
         m("skipped_link") += candTotal - passedCount
+        val passed = cands.where(col("pass"))
 
         // Q4a: in-batch first occurrence — discovery order (parent_seq, link_pos)
         val w = Window.partitionBy(col("hash")).orderBy(col("parent_seq"), col("link_pos"))
@@ -251,8 +259,8 @@ object SparkCrawler {
           .withColumn("depth", lit(d + 1))
           .select(col("url"), col("canon"), col("hash"), col("hash64"),
             col("host"), col("root"), col("depth"), col("seq"), col("ua"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        freshCount = fresh.count()
+        val freshCk = fresh.localCheckpoint(true) // materialize once
+        freshCount = freshCk.count() // local scan of checkpointed blocks
         m("duplicated_link") += passedCount - freshCount
         m("crawled_link") += freshCount
         seqBase += freshCount
@@ -262,17 +270,15 @@ object SparkCrawler {
         // this is an append to the bucketed seen table — Storage does exactly
         // that when a checkpointDir is configured.)
         val oldSeen = seen
-        seen = seen.unionByName(fresh.select(col("hash"), col("hash64"))).localCheckpoint(true)
-        if (bloom != null) BloomSeen.updateSegments(spark, bloom, fresh.select("hash64"), cfg.partitions)
+        seen = seen.unionByName(freshCk.select(col("hash"), col("hash64"))).localCheckpoint(true)
+        if (bloom != null) BloomSeen.updateSegments(spark, bloom, freshCk.select("hash64"), cfg.partitions)
         oldSeen.unpersist()
-        seenDelta = Some(fresh.select(col("hash"), col("hash64")))
+        seenDelta = Some(freshCk.select(col("hash"), col("hash64")))
 
         val oldFrontier = frontier
-        frontier = fresh.localCheckpoint(true)
+        frontier = freshCk
         oldFrontier.unpersist()
-        fresh.unpersist()
         cands.unpersist()
-        passed.unpersist()
       } else {
         val oldFrontier = frontier
         frontier = spark.emptyDataset[FrontierRow].toDF
