@@ -22,7 +22,10 @@ object Ranks {
    * (which must be unique per row). Scales: no global single-partition window.
    */
   def globalRank(df: DataFrame, keys: Seq[Column], outCol: String, numPartitions: Int): DataFrame = {
-    val ranged = df.repartitionByRange(math.max(1, numPartitions), keys: _*)
+    // cache the INPUT: repartitionByRange adds a sampling pass, which would
+    // otherwise recompute the (typically expensive) upstream chain twice
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val ranged = in.repartitionByRange(math.max(1, numPartitions), keys: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-partition counts → cumulative offsets (≤ numPartitions rows cross
@@ -33,6 +36,7 @@ object Ranks {
       var acc = 0L
       counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }.toMap
     }
+    in.unpersist() // ranged is materialized by the counts action above
     val offsetUdf = udf((pid: Int) => offsets.getOrElse(pid, 0L))
     val w = Window.partitionBy(col("__pid")).orderBy(keys: _*)
     ranged

@@ -48,9 +48,16 @@ object SparkCrawler {
       .withColumn("canon", Udfs.canonicalize(col("url")))
       .where(col("canon").isNotNull)
       .withColumn("hash64", xxhash64(col("canon")))
-      .select(col("canon"), col("hash64"), col("url").as("page_url"), col("html"), col("text"))
+      // fetch-join payload only: the engine never reads page_url/text/lang
+      // downstream, and every byte here rides through the per-superstep join
+      .select(col("canon"), col("hash64"), col("html"))
       .repartition(partitions, col("canon"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // sorted-within-buckets layout (what the bucketed+sorted Iceberg table
+      // gives on a real cluster): the per-superstep sort-merge fetch join
+      // then sorts ONLY the frontier side — the 10^10-row pages side is
+      // sort-free at query time
+      .sortWithinPartitions(col("canon"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER) // html-heavy: serialized cache keeps GC sane
 
   /** Seed frontier (crawler.go:109-147): parse all, abort on ANY invalid,
     * error on zero valid; seeds enqueued in argument order at depth 0 with
@@ -135,7 +142,9 @@ object SparkCrawler {
       saltedPoliteness: Boolean, st0: State): CrawlRun = {
     import spark.implicits._
     var frontier = st0.frontier
-    var seen = st0.seen
+    val seenDeltas = mutable.ArrayBuffer.empty[DataFrame]
+    if (st0.seen != null) seenDeltas += st0.seen
+    def seen: DataFrame = seenDeltas.reduce(_ unionByName _)
     val bloom = st0.bloom
     val m = st0.metrics
     var seqBase = st0.seqBase
@@ -153,14 +162,18 @@ object SparkCrawler {
       val t0 = System.nanoTime()
 
       // R1: politeness schedule — rate-interval slots within this depth.
-      // One combined agg gives size + interval span (job-count discipline:
-      // every driver action is a scheduling round-trip; keep few per step).
+      // Job-count discipline: every driver action is a scheduling round-trip;
+      // the interval-span agg runs only when something consumes it (strict
+      // drains / recorded streams); frontierSize is carried exactly from the
+      // previous superstep's fresh count.
       val scheduled = Politeness.assignIntervals(frontier, cfg, saltedPoliteness)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val statRow = scheduled.agg(count(lit(1)), max(col("interval"))).first()
-      frontierSize = statRow.getLong(0)
       m("total_requests") += frontierSize
-      val nIntervals = (if (statRow.isNullAt(1)) 0 else statRow.getInt(1)) + 1
+      val nIntervals =
+        if (cfg.strictPoliteness || cfg.recordStreams) {
+          val r = scheduled.agg(max(col("interval"))).first()
+          (if (r.isNullAt(0)) 0 else r.getInt(0)) + 1
+        } else 0
 
       // S2: the fetch = left join against the pages snapshot on canonical key.
       // strictPoliteness physically drains one rate interval at a time
@@ -173,7 +186,7 @@ object SparkCrawler {
           (0 until nIntervals).map(i => fetchJoin(scheduled.where(col("interval") === i)))
             .reduce(_ unionByName _)
         else fetchJoin(scheduled)
-      ).persist(StorageLevel.MEMORY_AND_DISK)
+      ).persist(StorageLevel.MEMORY_AND_DISK_SER)
 
       val hits = joined.where(col("html").isNotNull)
       val fetched = hits.count()
@@ -223,7 +236,7 @@ object SparkCrawler {
             col("cand.root").as("root"), col("cand.path").as("path"))
           .withColumn("hash64", xxhash64(col("canon")))
           .withColumn("pass", passCond)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
         // one pass over the candidate set for both counters (Q1∧Q2∧Q3 fused)
         val candStats = cands.agg(count(lit(1)), sum(when(col("pass"), 1L).otherwise(0L))).first()
         candTotal = candStats.getLong(0)
@@ -265,14 +278,13 @@ object SparkCrawler {
         m("crawled_link") += freshCount
         seqBase += freshCount
 
-        // union is narrow (no shuffle); localCheckpoint truncates lineage so
-        // the seen set never re-derives across supersteps. (On a real cluster
-        // this is an append to the bucketed seen table — Storage does exactly
-        // that when a checkpointDir is configured.)
-        val oldSeen = seen
-        seen = seen.unionByName(freshCk.select(col("hash"), col("hash64"))).localCheckpoint(true)
+        // the seen set is a LIST of already-materialized deltas (each is a
+        // localCheckpointed frontier) — appending costs nothing per superstep;
+        // the anti-join scans the union lazily. On a real cluster this is an
+        // append to the bucketed seen table (Storage does exactly that when a
+        // checkpointDir is configured).
+        seenDeltas += freshCk.select(col("hash"), col("hash64"))
         if (bloom != null) BloomSeen.updateSegments(spark, bloom, freshCk.select("hash64"), cfg.partitions)
-        oldSeen.unpersist()
         seenDelta = Some(freshCk.select(col("hash"), col("hash64")))
 
         val oldFrontier = frontier
@@ -288,7 +300,9 @@ object SparkCrawler {
       // atomic superstep commit: frontier, seen delta, crawled delta,
       // attempts delta, metrics, seq watermark
       storage.foreach { s =>
-        s.commitStep(d, frontier, seenDelta, orderParts.last, attemptParts.last, m.toMap, seqBase)
+        s.commitStep(d, frontier, seenDelta,
+          orderParts.lastOption.getOrElse(emptyOrder(spark)),
+          attemptParts.lastOption.getOrElse(emptyAttempts(spark)), m.toMap, seqBase)
       }
 
       val wallMs = (System.nanoTime() - t0) / 1000000L
@@ -297,7 +311,7 @@ object SparkCrawler {
       scheduled.unpersist()
       joined.unpersist()
 
-      frontierSize = if (d < cfg.maxDepth) frontier.count() else 0L
+      frontierSize = if (d < cfg.maxDepth) freshCount else 0L
       d += 1
     }
 
@@ -308,5 +322,17 @@ object SparkCrawler {
       .getOrElse(spark.emptyDataset[(Long, String, Int, Boolean, Int)]
         .toDF("seq", "canon", "depth", "hit", "superstep"))
     CrawlRun(order, attempts, seen, m.toMap, steps.toVector)
+  }
+
+  private def emptyOrder(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[(Long, String, String, String, Int, Int, Int, Int, String)]
+      .toDF("seq", "url", "canon", "hash", "depth", "status", "superstep", "interval", "ua")
+  }
+
+  private def emptyAttempts(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[(Long, String, Int, Boolean, Int)]
+      .toDF("seq", "canon", "depth", "hit", "superstep")
   }
 }

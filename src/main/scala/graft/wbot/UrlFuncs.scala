@@ -40,23 +40,50 @@ object UrlFuncs {
    */
   def registrableDomain(hostname: String): Either[String, String] = {
     if (hostname.isEmpty) return Left("empty hostname")
-    val norm = {
-      val lower = hostname.toLowerCase
-      if (lower.endsWith(".")) lower.dropRight(1) else lower
+    var norm = {
+      // allocation-light lowercase (hot path: hosts are usually lowercase)
+      var needsLower = false
+      var i = 0
+      while (i < hostname.length && !needsLower) {
+        val c = hostname.charAt(i)
+        if (c >= 'A' && c <= 'Z') needsLower = true
+        i += 1
+      }
+      if (needsLower) hostname.toLowerCase else hostname
     }
+    if (norm.endsWith(".")) norm = norm.substring(0, norm.length - 1)
     if (norm.isEmpty) return Left("empty hostname")
-    val labels = norm.split('.')
-    if (labels.exists(_.isEmpty)) return Left("invalid hostname")
-    val suffixLen =
-      if (labels.length >= 2 && multiPartSuffixes.contains(labels.takeRight(2).mkString("."))) 2
-      else 1
-    if (labels.length <= suffixLen) return Left(s"$norm is a suffix")
-    Right(labels.takeRight(suffixLen + 1).mkString("."))
+    if (norm.charAt(0) == '.' || norm.contains("..")) return Left("invalid hostname")
+    val lastDot = norm.lastIndexOf('.')
+    if (lastDot < 0) return Left(s"$norm is a suffix") // bare label = public suffix
+    val prevDot = norm.lastIndexOf('.', lastDot - 1)
+    val lastTwo = norm.substring(prevDot + 1)
+    if (prevDot >= 0 && multiPartSuffixes.contains(lastTwo)) {
+      // multi-part suffix: need one more label in front
+      val prev2 = norm.lastIndexOf('.', prevDot - 1)
+      if (prevDot == 0) Left(s"$norm is a suffix")
+      else Right(norm.substring(prev2 + 1))
+    } else {
+      Right(lastTwo) // suffix = last label; domain = last two labels
+    }
   }
 
+  private val hexChars = "0123456789abcdef".toCharArray
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("SHA-256"))
+
   def sha256hex(s: String): String = {
-    val d = MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
-    d.map(b => f"$b%02x").mkString
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](64)
+    var i = 0
+    while (i < 32) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /**
@@ -124,10 +151,39 @@ object UrlFuncs {
    * Full candidate pipeline of the fetcher (`http_client.go:125-136`):
    * resolve href against parent, serialize, re-parse+validate via newUrl.
    * None = silently dropped (never reaches `Response.NextURLs`).
+   *
+   * The reference literally re-parses the serialized absolute URL
+   * (`NewURL(absURL.String())`). For the URLs our resolver can produce —
+   * absolute http(s) with a host — `parse(str(u)) == u` (round-trip
+   * identity, property-tested in CandidateFastPathSpec), so the hot path
+   * validates the resolved URL directly and skips the second parse. The
+   * two-step version is kept as [[candidateViaReparse]] (the executable
+   * reference semantics the property test checks against).
    */
   def candidate(base: GoUrl, href: String): Option[Parsed] =
+    resolveUrl(base, href) match {
+      case Left(_) => None
+      case Right(abs) => validateResolved(abs)
+    }
+
+  /** The literal two-step reference pipeline (resolve → String → NewURL). */
+  def candidateViaReparse(base: GoUrl, href: String): Option[Parsed] =
     (for {
       abs <- resolveUrl(base, href)
       parsed <- newUrl(abs.str)
     } yield parsed).toOption
+
+  private def validateResolved(u: GoUrl): Option[Parsed] = {
+    if (u.scheme != "http" && u.scheme != "https") return None
+    registrableDomain(u.hostnameOnly) match {
+      case Left(_) => None
+      case Right(domain) =>
+        val tld = domain.substring(domain.lastIndexOf('.') + 1)
+        if (!tlds.contains(tld)) None
+        else canonical(u) match {
+          case Left(_) => None
+          case Right(canon) => Some(Parsed(u, u.str, canon, sha256hex(canon), domain))
+        }
+    }
+  }
 }

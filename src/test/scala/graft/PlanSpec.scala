@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.wbot.{Fixtures, SparkCrawler}
+
+/**
+ * Physical-plan quality gates (SURVEY.md §4.2): the declarative pipeline must
+ * actually get the Catalyst rewrites the 100 TB design depends on — column
+ * pruning and predicate pushdown into the parquet scan, broadcast for small
+ * join sides, no re-shuffle of the pre-partitioned pages table in the fetch
+ * join, and whole-stage codegen around the hot filters.
+ */
+class PlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("column pruning: sha-identity scan reads only (doc_id, text)") {
+    val plan = planOf(SparkEntry.queries("q01_sha_identity")(spark, sf))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"html/lang/source should be pruned from the scan:\n$plan")
+  }
+
+  test("predicate pushdown: contains filter reaches the parquet scan") {
+    val plan = planOf(SparkEntry.queries("q08_contains_scope")(spark, sf))
+    assert(plan.contains("PushedFilters:") && plan.contains("StringContains(source,1)"),
+      s"contains-predicate not pushed:\n$plan")
+  }
+
+  test("broadcast: ANN query set is broadcast, not shuffled") {
+    val plan = planOf(SparkEntry.queries("q18_ann_topk")(spark, sf))
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"small query side should broadcast:\n$plan")
+  }
+
+  test("whole-stage codegen spans the quality-score projection") {
+    // codegen stages appear as "*(n)" in the plan string
+    val plan = planOf(SparkEntry.queries("q20_quality")(spark, sf))
+    assert(plan.contains("*(1)"), s"expected a codegen stage:\n$plan")
+  }
+
+  test("fetch join: pre-partitioned pages side is not re-shuffled") {
+    val spec = Fixtures.tiny
+    val pagesPrep = SparkCrawler.preparePages(SparkTestBase.pagesDf(spec), 4)
+    pagesPrep.count() // materialize the cache (partitioning becomes visible)
+    val frontier = SparkCrawler.seedFrontier(spark, Fixtures.seeds(spec),
+      graft.wbot.Schemas.CrawlConfig(partitions = 4))
+    val joined = frontier.join(pagesPrep.drop("hash64"), Seq("canon"), "left")
+    val plan = planOf(joined)
+    // the cached pages relation must not be re-shuffled: no fresh
+    // hashpartitioning exchange ABOVE the InMemoryRelation (the exchange
+    // inside the cached plan is the one-time preparePages layout; a
+    // BroadcastExchange of a tiny side is fine — that's AQE doing its job)
+    val above = plan.substring(0, plan.indexOf("InMemoryRelation").max(0))
+    assert(plan.contains("InMemoryTableScan"), s"pages cache missing:\n$plan")
+    assert(!above.contains("Exchange hashpartitioning"),
+      s"pages side re-shuffled above the cache:\n$plan")
+    pagesPrep.unpersist()
+  }
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
