@@ -7,10 +7,10 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-LO=${1:-8}; HI=${2:-32}; REPEATS=${3:-3}
-NH=${4:-200}; PPH=${5:-5000}; SKEW=${6:-1}; MD=${7:-4}; FMIN=${8:-12}; FRAND=${9:-4}
+LO=${1:-2}; HI=${2:-8}; REPEATS=${3:-3}
+NH=${4:-200}; PPH=${5:-20000}; SKEW=${6:-1}; MD=${7:-4}; FMIN=${8:-12}; FRAND=${9:-4}
 OUT=$(mktemp /tmp/crawlbench.XXXX.txt)
-MEM=${SPARK_DRIVER_MEM:-12g}
+MEM=${SPARK_DRIVER_MEM:-10g}
 
 sbt -batch compile >/dev/null
 

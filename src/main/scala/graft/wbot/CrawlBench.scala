@@ -59,6 +59,8 @@ object CrawlBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "false"))
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "24g"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

@@ -57,7 +57,13 @@ object SparkCrawler {
       // then sorts ONLY the frontier side — the 10^10-row pages side is
       // sort-free at query time
       .sortWithinPartitions(col("canon"))
-      .persist(StorageLevel.MEMORY_AND_DISK_SER) // html-heavy: serialized cache keeps GC sane
+      // html-heavy: serialized cache keeps GC sane; when the session has
+      // off-heap memory configured, keep the (large) pages snapshot off-heap
+      // so it neither thrashes the GC nor spills to disk between supersteps
+      .persist(
+        if (org.apache.spark.sql.SparkSession.active.conf
+          .getOption("spark.memory.offHeap.enabled").contains("true")) StorageLevel.OFF_HEAP
+        else StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Seed frontier (crawler.go:109-147): parse all, abort on ANY invalid,
     * error on zero valid; seeds enqueued in argument order at depth 0 with
