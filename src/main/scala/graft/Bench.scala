@@ -37,8 +37,8 @@ object Bench {
 
     // crawl throughput at this parallelism (matches CrawlBench methodology)
     val crawlRate = try {
-      val spec = graft.wbot.Fixtures.SiteSpec(nHosts = 40, pagesPerHost = 100,
-        fanMin = 8, fanRand = 4)
+      val spec = graft.wbot.Fixtures.SiteSpec(nHosts = 100, pagesPerHost = 1000,
+        fanMin = 12, fanRand = 4)
       val pages = graft.wbot.Fixtures.pagesDf(spark, spec)
       val cfg = graft.wbot.Schemas.CrawlConfig(maxDepth = 4, partitions = cpus.toInt,
         recordStreams = false)
