@@ -24,11 +24,16 @@ object Fixtures {
       skewFactor: Int = 1, // host 0 holds skewFactor × pagesPerHost pages
       seed: Long = 42L,
       fanMin: Int = 3, // leaf out-link fan-out = fanMin + rnd(fanRand)
-      fanRand: Int = 3
+      fanRand: Int = 3,
+      robotsEvery: Int = 0 // >0: every Nth host serves /robots.txt (Disallow: /d2/)
   ) {
     val hostPages: Array[Int] =
       Array.tabulate(nHosts)(h => if (h == 0) skewFactor * pagesPerHost else pagesPerHost)
     val totalPages: Int = hostPages.sum
+    val robotsHosts: Vector[Int] =
+      if (robotsEvery <= 0) Vector.empty
+      else (0 until nHosts).filter(_ % robotsEvery == 0).toVector
+    val totalRows: Int = totalPages + robotsHosts.size
     private val cumulative: Array[Int] = hostPages.scanLeft(0)(_ + _)
     def hostOf(g: Int): (Int, Int) = { // (hostIdx, localIdx)
       var h = 0
@@ -133,8 +138,24 @@ object Fixtures {
     PageRow(url, ts, html.toString.getBytes("UTF-8"), text, langCycle(h % langCycle.size))
   }
 
+  /** robots.txt row for host h (plain-text body; text = the whitespace-
+    * collapsed body, satisfying the extractText invariant trivially). */
+  def robotsPage(spec: SiteSpec, h: Int): PageRow = {
+    val host = hostName(spec, h)
+    val body = s"# robots for $host\nUser-agent: *\nDisallow: /d2/\n"
+    val text = Html.extractText(body)
+    val ts = 1704067200000L + (h.toLong * 1000L)
+    PageRow(s"http://$host/robots.txt", ts, body.getBytes("UTF-8"), text, langCycle(h % langCycle.size))
+  }
+
+  /** Row for global index i over [0, totalRows): regular pages first, then
+    * one robots.txt row per robots-serving host. */
+  def rowAt(spec: SiteSpec, i: Int): PageRow =
+    if (i < spec.totalPages) page(spec, i)
+    else robotsPage(spec, spec.robotsHosts(i - spec.totalPages))
+
   def allPages(spec: SiteSpec): Vector[PageRow] =
-    (0 until spec.totalPages).map(page(spec, _)).toVector
+    (0 until spec.totalRows).map(rowAt(spec, _)).toVector
 
   /** Pages keyed by canonical form — the Oracle's fetch table. */
   def oraclePages(spec: SiteSpec): Map[String, Oracle.Page] =
@@ -163,9 +184,9 @@ object Fixtures {
     * (benchmarks at scale — generation itself is embarrassingly parallel). */
   def pagesDf(spark: org.apache.spark.sql.SparkSession, spec: SiteSpec): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    spark.range(spec.totalPages.toLong)
+    spark.range(spec.totalRows.toLong)
       .mapPartitions(_.map { i =>
-        val p = page(spec, i.toInt)
+        val p = rowAt(spec, i.toInt)
         (p.url, new java.sql.Timestamp(p.warcTsMs), p.html, p.text, p.lang)
       })
       .toDF("url", "warc_ts", "html", "text", "lang")

@@ -1,0 +1,86 @@
+package graft.wbot
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * robots.txt support. The reference carries a robots manager that is never
+ * fed (`/root/reference/robot.go:32-41` — no caller of AddRobotsTxt, so the
+ * gate is a no-op); the north rule wants real robots enforcement, so this
+ * module supplies it:
+ *
+ *  - [[parse]]: a robots.txt parser (user-agent groups, Disallow/Allow
+ *    lines — the subset the reference's robotstxt dependency would enforce
+ *    for prefix rules), per the de-facto standard (RFC 9309 grouping rules).
+ *  - [[rulesFromPages]]: bootstrap the robots table from the pages snapshot
+ *    itself — fetch `http://<host>/robots.txt` for every host like a real
+ *    crawler's robots prefetch, parse bodies distributedly, and collect the
+ *    (small) host-keyed rule table for broadcast.
+ */
+object Robots {
+
+  /** Parse one robots.txt body into (agent, allow?, prefix) rules for `host`.
+    * Grouping per RFC 9309: consecutive User-agent lines open a group that
+    * the following Allow/Disallow lines attach to; '#' starts a comment;
+    * empty Disallow means allow-all (emits no rule). */
+  def parse(host: String, body: String): Seq[Schemas.RobotsRule] = {
+    val out = Vector.newBuilder[Schemas.RobotsRule]
+    var agents: List[String] = Nil
+    var inGroupBody = false
+    body.linesIterator.foreach { raw =>
+      val line = {
+        val i = raw.indexOf('#')
+        (if (i >= 0) raw.substring(0, i) else raw).trim
+      }
+      if (line.nonEmpty) {
+        val sep = line.indexOf(':')
+        if (sep > 0) {
+          val key = line.substring(0, sep).trim.toLowerCase
+          val value = line.substring(sep + 1).trim
+          key match {
+            case "user-agent" =>
+              if (inGroupBody) { agents = Nil; inGroupBody = false } // new group
+              agents = value :: agents
+            case "disallow" =>
+              inGroupBody = true
+              if (value.nonEmpty) agents.foreach(a =>
+                out += Schemas.RobotsRule(host, a, value))
+            case "allow" => // prefix-allow: recorded with empty disallow marker
+              inGroupBody = true // (engine enforces Disallow prefixes; Allow
+            // entries are accepted syntax but not needed by robotsAllowed)
+            case _ => // crawl-delay, sitemap, unknown: ignored
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Fetch + parse robots.txt for every registrable host present in the
+    * pages snapshot (one join against the snapshot, parse distributed, rules
+    * collected — the table is hosts-sized, i.e. broadcast-small). */
+  def rulesFromPages(spark: SparkSession, pages: DataFrame): Seq[Schemas.RobotsRule] = {
+    import spark.implicits._
+    val parseRules = udf((host: String, body: Array[Byte]) =>
+      if (body == null) Seq.empty[Schemas.RobotsRule]
+      else parse(host, new String(body, "UTF-8")))
+    // hosts present in the snapshot → their robots.txt canonical keys
+    val hosts = pages
+      .withColumn("p", Udfs.parseUrl(col("url")))
+      .where(col("p.valid"))
+      .select(col("p.host").as("host")).distinct()
+      .withColumn("robots_url", concat(lit("http://"), col("host"), lit("/robots.txt")))
+      .withColumn("canon", Udfs.canonicalize(col("robots_url")))
+      .where(col("canon").isNotNull)
+    val robotsPages = pages
+      .withColumn("pcanon", Udfs.canonicalize(col("url")))
+      .select(col("pcanon").as("canon"), col("html"))
+    hosts.join(robotsPages, Seq("canon"))
+      .select(explode(parseRules(col("host"), col("html"))).as("r"))
+      .select(col("r.host"), col("r.agent"), col("r.disallowPrefix"))
+      .as[(String, String, String)]
+      .collect()
+      .map { case (h, a, p) => Schemas.RobotsRule(h, a, p) }
+      .toSeq
+  }
+}

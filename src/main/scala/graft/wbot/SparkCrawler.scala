@@ -45,7 +45,9 @@ object SparkCrawler {
     * this is the bucketed/partitioned Iceberg table, SURVEY.md §7.6). */
   def preparePages(pages: DataFrame, partitions: Int): DataFrame =
     pages
-      .withColumn("canon", Udfs.canonicalize(col("url")))
+      // native codegen'd expression (exprs.CanonicalizeUrl) — stays inside
+      // whole-stage codegen on the biggest scan of the pipeline
+      .withColumn("canon", exprs.UrlExprs.canonicalizeUrl(col("url")))
       .where(col("canon").isNotNull)
       .withColumn("hash64", xxhash64(col("canon")))
       // fetch-join payload only: the engine never reads page_url/text/lang

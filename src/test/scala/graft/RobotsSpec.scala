@@ -1,0 +1,73 @@
+package graft
+
+import graft.wbot._
+import graft.wbot.Schemas._
+
+class RobotsSpec extends SparkSuite {
+
+  test("robots.txt parser: groups, comments, multiple agents, empty disallow") {
+    val body =
+      """# comment
+        |User-agent: *
+        |Disallow: /private/
+        |Disallow: /tmp/
+        |
+        |User-agent: WBot
+        |User-agent: OtherBot
+        |Disallow: /wbot-only/
+        |Allow: /wbot-only/except
+        |
+        |User-agent: FreeBot
+        |Disallow:
+        |Sitemap: http://a.com/sitemap.xml
+        |""".stripMargin
+    val rules = Robots.parse("a.com", body)
+    assert(rules.toSet == Set(
+      RobotsRule("a.com", "*", "/private/"),
+      RobotsRule("a.com", "*", "/tmp/"),
+      RobotsRule("a.com", "WBot", "/wbot-only/"),
+      RobotsRule("a.com", "OtherBot", "/wbot-only/")))
+    // enforcement semantics
+    assert(!robotsAllowed(rules, "a.com", "/private/x", "AnyAgent/1.0"))
+    assert(robotsAllowed(rules, "a.com", "/public/x", "AnyAgent/1.0"))
+    assert(!robotsAllowed(rules, "a.com", "/wbot-only/x", "WBot/v0.2.0"))
+    assert(robotsAllowed(rules, "b.com", "/private/x", "AnyAgent/1.0")) // other host
+  }
+
+  test("robots rules bootstrap from the pages snapshot and gate the crawl") {
+    val spec = Fixtures.SiteSpec(nHosts = 4, pagesPerHost = 12, robotsEvery = 2)
+    val pages = SparkTestBase.pagesDf(spec)
+    val rules = Robots.rulesFromPages(spark, pages)
+    val expected = spec.robotsHosts.map(h =>
+      RobotsRule(Fixtures.hostName(spec, h), "*", "/d2/")).toSet
+    assert(rules.toSet == expected)
+
+    val cfg = CrawlConfig(maxDepth = 3, partitions = 4,
+      robots = rules, robotsStandardMode = true)
+    // engine ≡ oracle under the bootstrapped rules
+    val oracle = Oracle.run(Fixtures.oraclePages(spec), Fixtures.seeds(spec), cfg)
+    val run = SparkCrawler.run(spark, pages, Fixtures.seeds(spec), cfg)
+    val engineOrder = run.order.orderBy("seq").select("seq", "canon", "depth").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toVector
+    assert(engineOrder == oracle.order.map(c => (c.seq, c.canon, c.depth)))
+    assert(run.metrics == oracle.metrics)
+
+    // and the gate actually bites: no /d2/ page is ever crawled via a link
+    // naming the robots-serving host EXACTLY (robots.txt is per exact host,
+    // RFC 9309 — a www-alias is a different host with its own robots.txt)
+    val crawled = run.order.select("url").collect().map(_.getString(0)).toSet
+    val blockedHost = Fixtures.hostName(spec, 0)
+    assert(!crawled.exists(u => u.startsWith(s"http://$blockedHost/d2/")),
+      s"robots Disallow /d2/ violated for $blockedHost")
+    // a non-robots host's /d2/ pages can still be crawled
+    assert(run.metrics("skipped_link") > Oracle.run(Fixtures.oraclePages(spec),
+      Fixtures.seeds(spec), cfg.copy(robots = Seq.empty)).metrics("skipped_link"))
+  }
+
+  test("robots pages keep the extractText invariant") {
+    val spec = Fixtures.SiteSpec(nHosts = 4, pagesPerHost = 6, robotsEvery = 2)
+    Fixtures.allPages(spec).foreach { p =>
+      assert(Html.extractTextBytes(p.html) == p.text, s"mismatch for ${p.url}")
+    }
+  }
+}
