@@ -137,6 +137,12 @@ object SparkEntry {
     "q25_simhash" -> ((s, d) => // no SQL oracle: xxhash64 is engine-specific
       Dedup.simhash64(t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")),
 
+    "q28_neardup_clusters" -> ((s, d) => { // LSH pairs → connected components
+      val sigs = Dedup.minhashSignatures(t(s, d, "documents").where(col("doc_id") < 200),
+        "doc_id", "text", 6, 4)
+      Dedup.nearDupClusters(Dedup.minhashBandPairs(sigs, "doc_id", 4, 2))
+    }),
+
     // ---- similarity search ----
     "q18_ann_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -270,6 +276,32 @@ object SparkEntry {
         |  SELECT doc_id AS id, 1 AS band, md5(sig_2 || '|' || sig_3) AS bucket FROM sig)
         |SELECT DISTINCT a.id AS id_a, b.id AS id_b
         |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id""".stripMargin,
+
+    "q28_neardup_clusters" ->
+      """WITH RECURSIVE sig AS (
+        |  SELECT doc_id,
+        |    min(md5(shingle || '#0')) AS sig_0, min(md5(shingle || '#1')) AS sig_1,
+        |    min(md5(shingle || '#2')) AS sig_2, min(md5(shingle || '#3')) AS sig_3
+        |  FROM (SELECT doc_id, substr(text, CAST(i AS INTEGER), 6) AS shingle
+        |        FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 5)) AS i
+        |              FROM documents WHERE doc_id < 200 AND length(text) >= 6))
+        |  GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id AS id, 0 AS band, md5(sig_0 || '|' || sig_1) AS bucket FROM sig
+        |  UNION ALL
+        |  SELECT doc_id AS id, 1 AS band, md5(sig_2 || '|' || sig_3) AS bucket FROM sig),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id, min(r) AS cluster_id,
+        |       CASE WHEN id = min(r) THEN 1 ELSE 0 END AS keep
+        |FROM reach GROUP BY id""".stripMargin,
 
     "q16_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 101),

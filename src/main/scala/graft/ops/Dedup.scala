@@ -95,6 +95,40 @@ object Dedup {
   }
 
   /**
+   * Near-dup clusters: connected components over the candidate-pair graph
+   * (the keep-one-per-cluster stage after MinHash/LSH + verify). Iterative
+   * min-label propagation — converges in O(component diameter) rounds, each
+   * one hash-shuffle join + agg; per-round localCheckpoint keeps lineage
+   * flat. Output: (id, cluster_id = min id in component, keep = 1 iff the
+   * representative).
+   */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(labels("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"),
+          col("label").as("old_label"))
+        .localCheckpoint(true)
+      converged = updated.where(col("new_label") < col("old_label")).isEmpty
+      labels = updated.select(col("id"), col("new_label").as("label")).localCheckpoint(true)
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"),
+      when(col("id") === col("label"), 1).otherwise(0).as("keep"))
+  }
+
+  /**
    * SimHash-64 over tokens: per-document signed bit-vote using xxhash64 token
    * hashes (codegen'd built-in). Near-dups = small hamming distance.
    */
