@@ -120,6 +120,27 @@ class UrlFuncsSpec extends AnyFunSuite {
     assert(c.root == "a.com")
   }
 
+  test("URL edge cases: userinfo, uppercase scheme, ports, opaque, empty") {
+    // userinfo rides through serialization and canonicalization
+    val p = UrlFuncs.newUrl("http://user:pw@a.com/x").toOption.get
+    assert(p.urlStr == "http://user:pw@a.com/x")
+    assert(p.canon == "user:pw@a.com/x")
+    // scheme is lowercased at parse (Go getScheme)
+    assert(UrlFuncs.newUrl("HTTP://a.com/x").toOption.get.canon == "a.com/x")
+    // port stripped for domain extraction, kept in canonical host
+    assert(UrlFuncs.newUrl("http://a.com:80/").toOption.get.canon == "a.com:80")
+    // opaque form (no //) has empty host → domain error
+    assert(UrlFuncs.newUrl("http:a.com/x").isLeft)
+    // empty / garbage
+    assert(UrlFuncs.newUrl("").isLeft)
+    assert(UrlFuncs.newUrl("   ").isLeft)
+    assert(UrlFuncs.newUrl("http://").isLeft)
+    // control characters rejected like Go url.Parse
+    assert(UrlFuncs.newUrl("http://a.com/xy").isLeft)
+    // scheme-relative parse (no scheme) fails the scheme check
+    assert(UrlFuncs.newUrl("//a.com/x").swap.exists(_.contains("invalid scheme")))
+  }
+
   test("rate limit parse (limiter.go:61-90)") {
     import graft.wbot.Schemas._
     assert(parseRateLimit("10/1s") == Budget(10, 1000L))
