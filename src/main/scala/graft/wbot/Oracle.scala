@@ -24,7 +24,7 @@ object Oracle {
   final case class Page(url: String, html: Array[Byte], text: String)
 
   final case class Crawled(seq: Long, url: String, canon: String, hash: String,
-      depth: Int, status: Int, ua: String)
+      depth: Int, status: Int, ua: String, proxy: String)
 
   final case class Result(
       order: Vector[Crawled], // stream order == FIFO fetch order (successful fetches)
@@ -34,7 +34,8 @@ object Oracle {
       frontierSizes: Vector[Int] // frontier size per depth (for engine cross-check)
   )
 
-  private final case class Req(parsed: UrlFuncs.Parsed, depth: Int, ua: String, seq: Long)
+  private final case class Req(parsed: UrlFuncs.Parsed, depth: Int, ua: String,
+      proxy: String, seq: Long)
 
   /** Run the sequential crawl. Invalid seeds abort (crawler.go:124-130). */
   def run(pages: Map[String, Page], seeds: Seq[String], cfg: CrawlConfig): Result = {
@@ -56,7 +57,7 @@ object Oracle {
     // seeds enqueued in argument order at depth 0; UA round-robin per seed
     // (crawler.go:132-134,173-194); the seen store is NOT touched (Q4a quirk).
     targets.zipWithIndex.foreach { case (t, i) =>
-      queue.enqueue(Req(t, 0, cfg.uaFor(i), seqCounter)); seqCounter += 1
+      queue.enqueue(Req(t, 0, cfg.uaFor(i), cfg.proxyFor(i), seqCounter)); seqCounter += 1
     }
 
     val order = Vector.newBuilder[Crawled]
@@ -84,7 +85,7 @@ object Oracle {
           m("successful_requests") += 1
           attempts += ((req.seq, req.parsed.canon, req.depth, true))
           order += Crawled(req.seq, req.parsed.urlStr, req.parsed.canon,
-            req.parsed.hash, req.depth, 200, req.ua)
+            req.parsed.hash, req.depth, 200, req.ua, req.proxy)
           val nextDepth = req.depth + 1
           if (nextDepth <= cfg.maxDepth) {
             // body truncation BEFORE link extraction (http_client.go:117-123)
@@ -109,7 +110,7 @@ object Oracle {
               // Q4 test-and-set dedup (in_memory.go:22-33)
               else if (!seen.add(target.hash)) m("duplicated_link") += 1
               else {
-                queue.enqueue(Req(target, nextDepth, req.ua, seqCounter))
+                queue.enqueue(Req(target, nextDepth, req.ua, req.proxy, seqCounter))
                 seqCounter += 1
                 m("crawled_link") += 1
               }

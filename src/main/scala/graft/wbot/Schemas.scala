@@ -20,7 +20,8 @@ object Schemas {
       root: String, // registrable domain (politeness + rule key)
       depth: Int,
       seq: Long, // global BFS sequence (depth-major, FIFO within depth)
-      ua: String // sticky per-seed-branch user agent (crawler.go:279 quirk)
+      ua: String, // sticky per-seed-branch user agent (crawler.go:279 quirk)
+      proxy: String // sticky per-seed-branch proxy (crawler.go:180-182); "" = none
   )
 
   /** One fetched page — the reference `Response` (`wbot.go:74-82`) flattened. */
@@ -87,6 +88,7 @@ object Schemas {
       maxDepth: Int = defaultMaxDepth,
       maxBodySize: Long = defaultMaxBodySize,
       userAgents: Vector[String] = Vector(defaultUserAgent),
+      proxies: Vector[String] = Vector.empty, // rotating per seed, sticky per branch
       rateLimits: Map[String, Budget] = Map("*" -> Budget(10, 1000L)),
       filterRules: Map[String, FilterRule] = Map.empty,
       robots: Seq[RobotsRule] = Seq.empty,
@@ -102,6 +104,8 @@ object Schemas {
     def budgetFor(root: String): Budget =
       rateLimits.getOrElse(root, rateLimits.getOrElse("*", Budget(10, 1000L)))
     def uaFor(seedIdx: Int): String = userAgents(seedIdx % userAgents.length)
+    def proxyFor(seedIdx: Int): String =
+      if (proxies.isEmpty) "" else proxies(seedIdx % proxies.length)
   }
 
   /** `filter.allow` (`/root/reference/filter.go:30-57`), shared by the Oracle

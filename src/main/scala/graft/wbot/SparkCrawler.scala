@@ -77,10 +77,10 @@ object SparkCrawler {
     if (errs.nonEmpty) throw new IllegalArgumentException(s"invalid links: ${errs.mkString("; ")}")
     if (parsed.isEmpty) throw new IllegalArgumentException("no valid links")
     val rows = parsed.zipWithIndex.collect { case ((_, Right(p)), i) =>
-      (p.urlStr, p.canon, p.hash, p.host, p.root, 0, i.toLong, cfg.uaFor(i))
+      (p.urlStr, p.canon, p.hash, p.host, p.root, 0, i.toLong, cfg.uaFor(i), cfg.proxyFor(i))
     }
     spark.createDataset(rows)
-      .toDF("url", "canon", "hash", "host", "root", "depth", "seq", "ua")
+      .toDF("url", "canon", "hash", "host", "root", "depth", "seq", "ua", "proxy")
       .withColumn("hash64", xxhash64(col("canon")))
   }
 
@@ -207,7 +207,8 @@ object SparkCrawler {
         attemptParts += joined.select(col("seq"), col("canon"), col("depth"),
           col("html").isNotNull.as("hit"), lit(d).as("superstep")).localCheckpoint(true)
         orderParts += hits.select(col("seq"), col("url"), col("canon"), col("hash"),
-          col("depth"), lit(200).as("status"), lit(d).as("superstep"), col("interval"), col("ua"))
+          col("depth"), lit(200).as("status"), lit(d).as("superstep"), col("interval"),
+          col("ua"), col("proxy"))
           .localCheckpoint(true)
       }
 
@@ -220,7 +221,7 @@ object SparkCrawler {
         // http_client.go:117-123) → resolve → validate; drops are silent
         val exploded = hits.select(
           col("seq").as("parent_seq"), col("url").as("parent_url"),
-          col("root").as("parent_root"), col("ua"),
+          col("root").as("parent_root"), col("ua"), col("proxy"),
           posexplode(Udfs.extractLinks(col("html"), lit(cfg.maxBodySize))).as(Seq("link_pos", "href")))
         // Q1: substring same-root (crawler.go:252-255 — contains, not suffix)
         var passCond = col("host").contains(col("parent_root"))
@@ -238,7 +239,7 @@ object SparkCrawler {
         val cands = exploded
           .withColumn("cand", Udfs.resolveCandidate(col("parent_url"), col("href")))
           .where(col("cand").isNotNull)
-          .select(col("parent_seq"), col("link_pos"), col("ua"), col("parent_root"),
+          .select(col("parent_seq"), col("link_pos"), col("ua"), col("proxy"), col("parent_root"),
             col("cand.url").as("url"), col("cand.canon").as("canon"),
             col("cand.hash").as("hash"), col("cand.host").as("host"),
             col("cand.root").as("root"), col("cand.path").as("path"))
@@ -279,7 +280,7 @@ object SparkCrawler {
           .withColumn("seq", col("__rank") - 1 + lit(seqBase))
           .withColumn("depth", lit(d + 1))
           .select(col("url"), col("canon"), col("hash"), col("hash64"),
-            col("host"), col("root"), col("depth"), col("seq"), col("ua"))
+            col("host"), col("root"), col("depth"), col("seq"), col("ua"), col("proxy"))
         val freshCk = fresh.localCheckpoint(true) // materialize once
         freshCount = freshCk.count() // local scan of checkpointed blocks
         m("duplicated_link") += passedCount - freshCount
@@ -323,9 +324,7 @@ object SparkCrawler {
       d += 1
     }
 
-    val order = orderParts.reduceOption(_ unionByName _)
-      .getOrElse(spark.emptyDataset[(Long, String, String, String, Int, Int, Int, Int, String)]
-        .toDF("seq", "url", "canon", "hash", "depth", "status", "superstep", "interval", "ua"))
+    val order = orderParts.reduceOption(_ unionByName _).getOrElse(emptyOrder(spark))
     val attempts = attemptParts.reduceOption(_ unionByName _)
       .getOrElse(spark.emptyDataset[(Long, String, Int, Boolean, Int)]
         .toDF("seq", "canon", "depth", "hit", "superstep"))
@@ -334,8 +333,8 @@ object SparkCrawler {
 
   private def emptyOrder(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.emptyDataset[(Long, String, String, String, Int, Int, Int, Int, String)]
-      .toDF("seq", "url", "canon", "hash", "depth", "status", "superstep", "interval", "ua")
+    spark.emptyDataset[(Long, String, String, String, Int, Int, Int, Int, String, String)]
+      .toDF("seq", "url", "canon", "hash", "depth", "status", "superstep", "interval", "ua", "proxy")
   }
 
   private def emptyAttempts(spark: SparkSession): DataFrame = {

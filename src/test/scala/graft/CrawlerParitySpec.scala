@@ -19,11 +19,12 @@ class CrawlerParitySpec extends SparkSuite {
 
     // crawl order: engine rows sorted by seq must equal the oracle stream
     val engineOrder = run.order.orderBy("seq")
-      .select("seq", "url", "canon", "hash", "depth", "ua")
+      .select("seq", "url", "canon", "hash", "depth", "ua", "proxy")
       .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getInt(4), r.getString(5)))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getInt(4),
+        r.getString(5), r.getString(6)))
       .toVector
-    val oracleOrder = oracle.order.map(c => (c.seq, c.url, c.canon, c.hash, c.depth, c.ua))
+    val oracleOrder = oracle.order.map(c => (c.seq, c.url, c.canon, c.hash, c.depth, c.ua, c.proxy))
     assert(engineOrder == oracleOrder, "crawl order mismatch")
 
     // URL-seen set: exact equality
@@ -91,10 +92,14 @@ class CrawlerParitySpec extends SparkSuite {
     assertParity(tiny, seeds, CrawlConfig(maxDepth = 2, partitions = 4))
   }
 
-  test("parity: multiple user agents rotate per seed and stay sticky per branch") {
+  test("parity: multiple user agents + proxies rotate per seed and stay sticky per branch") {
     val cfg = CrawlConfig(maxDepth = 2, partitions = 4,
-      userAgents = Vector("UA-Alpha/1.0", "UA-Beta/2.0"))
-    assertParity(tiny, tinySeeds, cfg)
+      userAgents = Vector("UA-Alpha/1.0", "UA-Beta/2.0"),
+      proxies = Vector("http://proxy1:8080", "http://proxy2:8080", "http://proxy3:8080"))
+    val run = assertParity(tiny, tinySeeds, cfg)
+    // both proxies in use, each branch sticky to its seed's proxy
+    val used = run.order.select("proxy").collect().map(_.getString(0)).toSet
+    assert(used == Set("http://proxy1:8080", "http://proxy2:8080"))
   }
 
   test("parity: maxBodySize truncation changes extraction identically") {
