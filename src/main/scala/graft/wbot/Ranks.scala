@@ -21,7 +21,19 @@ object Ranks {
    * Adds `outCol` = 1-based dense global row number of `df` ordered by `keys`
    * (which must be unique per row). Scales: no global single-partition window.
    */
-  def globalRank(df: DataFrame, keys: Seq[Column], outCol: String, numPartitions: Int): DataFrame = {
+  def globalRank(df: DataFrame, keys: Seq[Column], outCol: String, numPartitions: Int): DataFrame =
+    globalRankWithCount(df, keys, outCol, numPartitions).df
+
+  /** Ranked output plus the total row count (free from the offset pass) and
+    * the internal range-partitioned cache handle so callers can unpersist it
+    * once downstream results are materialized. */
+  final case class RankResult(df: DataFrame, total: Long, cached: DataFrame)
+
+  /** As [[globalRank]], but also returns the total row count — already known
+    * from the per-partition offsets, so callers that need `count()` anyway
+    * (the crawl loop's fresh-frontier size) save one action. */
+  def globalRankWithCount(df: DataFrame, keys: Seq[Column], outCol: String,
+      numPartitions: Int): RankResult = {
     // cache the INPUT: repartitionByRange adds a sampling pass, which would
     // otherwise recompute the (typically expensive) upstream chain twice
     val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -32,15 +44,19 @@ object Ranks {
     // the driver — the only non-distributed state)
     val counts = ranged.groupBy(col("__pid")).count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }.toMap
-    }
+    var total = 0L
+    val offsets: Map[Int, Long] =
+      counts.map { case (pid, c) => val o = (pid, total); total += c; o }.toMap
     in.unpersist() // ranged is materialized by the counts action above
-    val offsetUdf = udf((pid: Int) => offsets.getOrElse(pid, 0L))
+    // literal-map lookup (≤ numPartitions entries): stays inside whole-stage
+    // codegen, unlike a per-row Scala UDF
+    val offsetExpr =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L))
     val w = Window.partitionBy(col("__pid")).orderBy(keys: _*)
-    ranged
-      .withColumn(outCol, row_number().over(w).cast("long") + offsetUdf(col("__pid")))
+    val out = ranged
+      .withColumn(outCol, row_number().over(w).cast("long") + offsetExpr)
       .drop("__pid")
+    RankResult(out, total, ranged)
   }
 }

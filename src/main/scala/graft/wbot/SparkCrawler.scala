@@ -170,15 +170,21 @@ object SparkCrawler {
       val t0 = System.nanoTime()
 
       // R1: politeness schedule — rate-interval slots within this depth.
-      // Job-count discipline: every driver action is a scheduling round-trip;
-      // the interval-span agg runs only when something consumes it (strict
-      // drains / recorded streams); frontierSize is carried exactly from the
-      // previous superstep's fresh count.
-      val scheduled = Politeness.assignIntervals(frontier, cfg, saltedPoliteness)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // Job-count discipline: every driver action is a scheduling round-trip,
+      // so the per-superstep counters (interval span, hit count, candidate
+      // count, pass count) ride `observe()` metrics on jobs the loop must run
+      // anyway; only strict drains need the interval span EAGERLY (to build
+      // the per-interval union) and keep a real agg. frontierSize is carried
+      // exactly from the previous superstep's fresh count.
+      val ivObs = new org.apache.spark.sql.Observation(s"iv_d${d}_s$stepsRun")
+      val scheduled0 = Politeness.assignIntervals(frontier, cfg, saltedPoliteness)
+      val scheduled = (
+        if (cfg.strictPoliteness) scheduled0
+        else scheduled0.observe(ivObs, max(col("interval")).as("max_iv"))
+      ).persist(StorageLevel.MEMORY_AND_DISK)
       m("total_requests") += frontierSize
-      val nIntervals =
-        if (cfg.strictPoliteness || cfg.recordStreams) {
+      val strictIntervals =
+        if (cfg.strictPoliteness) {
           val r = scheduled.agg(max(col("interval"))).first()
           (if (r.isNullAt(0)) 0 else r.getInt(0)) + 1
         } else 0
@@ -189,19 +195,18 @@ object SparkCrawler {
       // interval column still records the schedule).
       def fetchJoin(fr: DataFrame): DataFrame =
         fr.join(pagesPrep.drop("hash64"), Seq("canon"), "left")
+      val fetchObs = new org.apache.spark.sql.Observation(s"fetch_d${d}_s$stepsRun")
       val joined = (
-        if (cfg.strictPoliteness && nIntervals > 1)
-          (0 until nIntervals).map(i => fetchJoin(scheduled.where(col("interval") === i)))
+        if (cfg.strictPoliteness && strictIntervals > 1)
+          (0 until strictIntervals).map(i => fetchJoin(scheduled.where(col("interval") === i)))
             .reduce(_ unionByName _)
         else fetchJoin(scheduled)
-      ).persist(StorageLevel.MEMORY_AND_DISK_SER)
+      ).observe(fetchObs,
+          sum(when(col("html").isNotNull, 1L).otherwise(0L)).as("fetched"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
 
       val hits = joined.where(col("html").isNotNull)
-      val fetched = hits.count()
-      val failed = frontierSize - fetched
-      m("successful_requests") += fetched
-      m("failed_requests") += failed
-
+      var actionRan = false
       if (cfg.recordStreams) {
         // localCheckpoint: these outlive the per-superstep caches they derive from
         attemptParts += joined.select(col("seq"), col("canon"), col("depth"),
@@ -210,13 +215,16 @@ object SparkCrawler {
           col("depth"), lit(200).as("status"), lit(d).as("superstep"), col("interval"),
           col("ua"), col("proxy"))
           .localCheckpoint(true)
+        actionRan = true
       }
 
       var freshCount = 0L
       var candTotal = 0L
       var passedCount = 0L
       var seenDelta: Option[DataFrame] = None
-      if (d < cfg.maxDepth && fetched > 0) { // Q5: expand only when depth+1 ≤ maxDepth
+      var firstsCache: DataFrame = null
+      var rankCache: DataFrame = null
+      if (d < cfg.maxDepth) { // Q5: expand only when depth+1 ≤ maxDepth
         // F4+F5+F1+F3: extract (on the MaxBodySize-truncated body,
         // http_client.go:117-123) → resolve → validate; drops are silent
         val exploded = hits.select(
@@ -236,6 +244,11 @@ object SparkCrawler {
           if (cfg.filterRules.isEmpty) !col("path").rlike(badExtRegex)
           else Udfs.filterAllowUdf(cfg.filterRules)(col("root"), col("path"), col("url")))
 
+        // Candidate counters ride an observation BELOW the first-occurrence
+        // window's shuffle: the metric fires exactly once, in that shuffle's
+        // map stage (downstream branches re-read shuffle/cached output, never
+        // this node) — accumulator-exact, zero extra jobs.
+        val candObs = new org.apache.spark.sql.Observation(s"cand_d${d}_s$stepsRun")
         val cands = exploded
           .withColumn("cand", Udfs.resolveCandidate(col("parent_url"), col("href")))
           .where(col("cand").isNotNull)
@@ -245,19 +258,16 @@ object SparkCrawler {
             col("cand.root").as("root"), col("cand.path").as("path"))
           .withColumn("hash64", xxhash64(col("canon")))
           .withColumn("pass", passCond)
-          .persist(StorageLevel.MEMORY_AND_DISK_SER)
-        // one pass over the candidate set for both counters (Q1∧Q2∧Q3 fused)
-        val candStats = cands.agg(count(lit(1)), sum(when(col("pass"), 1L).otherwise(0L))).first()
-        candTotal = candStats.getLong(0)
-        passedCount = if (candStats.isNullAt(1)) 0L else candStats.getLong(1)
-        m("total_link") += candTotal
-        m("skipped_link") += candTotal - passedCount
+          .observe(candObs, count(lit(1)).as("n_cands"),
+            sum(when(col("pass"), 1L).otherwise(0L)).as("n_passed"))
         val passed = cands.where(col("pass"))
 
         // Q4a: in-batch first occurrence — discovery order (parent_seq, link_pos)
         val w = Window.partitionBy(col("hash")).orderBy(col("parent_seq"), col("link_pos"))
         val firsts = passed.withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn")
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        firstsCache = firsts
 
         // Q4b: cross-superstep dedup — Bloom segment pre-filter (no false
         // negatives → misses are definitely fresh), exact anti-join backstop
@@ -273,16 +283,24 @@ object SparkCrawler {
             sure.unionByName(suspect)
           } else firsts.join(seen.select("hash"), Seq("hash"), "left_anti")
 
-        // O1: reify FIFO order — scalable global rank over discovery order
-        val ranked = Ranks.globalRank(fresh0, Seq(col("parent_seq"), col("link_pos")),
+        // O1: reify FIFO order — scalable global rank over discovery order.
+        // The rank pass's offset collect doubles as the fresh count (one job).
+        val rank = Ranks.globalRankWithCount(fresh0, Seq(col("parent_seq"), col("link_pos")),
           "__rank", cfg.partitions)
-        val fresh = ranked
+        rankCache = rank.cached
+        actionRan = true // globalRank materialized the chain (counts action)
+        freshCount = rank.total
+        val fresh = rank.df
           .withColumn("seq", col("__rank") - 1 + lit(seqBase))
           .withColumn("depth", lit(d + 1))
           .select(col("url"), col("canon"), col("hash"), col("hash64"),
             col("host"), col("root"), col("depth"), col("seq"), col("ua"), col("proxy"))
         val freshCk = fresh.localCheckpoint(true) // materialize once
-        freshCount = freshCk.count() // local scan of checkpointed blocks
+        val candStats = candObs.get // filled by the rank pass's jobs
+        candTotal = candStats("n_cands").asInstanceOf[Long]
+        passedCount = Option(candStats("n_passed")).fold(0L)(_.asInstanceOf[Long])
+        m("total_link") += candTotal
+        m("skipped_link") += candTotal - passedCount
         m("duplicated_link") += passedCount - freshCount
         m("crawled_link") += freshCount
         seqBase += freshCount
@@ -299,12 +317,19 @@ object SparkCrawler {
         val oldFrontier = frontier
         frontier = freshCk
         oldFrontier.unpersist()
-        cands.unpersist()
       } else {
         val oldFrontier = frontier
         frontier = spark.emptyDataset[FrontierRow].toDF
         oldFrontier.unpersist()
       }
+      if (!actionRan) joined.count() // ensure the fetch observation fired
+      val fetched = Option(fetchObs.get("fetched")).fold(0L)(_.asInstanceOf[Long])
+      val failed = frontierSize - fetched
+      m("successful_requests") += fetched
+      m("failed_requests") += failed
+      val nIntervals =
+        if (cfg.strictPoliteness) strictIntervals
+        else Option(ivObs.get("max_iv")).fold(0)(_.asInstanceOf[Int] + 1)
 
       // atomic superstep commit: frontier, seen delta, crawled delta,
       // attempts delta, metrics, seq watermark
@@ -319,6 +344,8 @@ object SparkCrawler {
         nIntervals, wallMs)
       scheduled.unpersist()
       joined.unpersist()
+      if (firstsCache != null) firstsCache.unpersist()
+      if (rankCache != null) rankCache.unpersist()
 
       frontierSize = if (d < cfg.maxDepth) freshCount else 0L
       d += 1

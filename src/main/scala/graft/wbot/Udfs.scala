@@ -75,9 +75,14 @@ object Udfs {
     spark.udf.register("wbot_parse_url", parseUrlFn)
   }
 
-  /** Budget lookup as a literal map expression (tiny config — broadcast scalar). */
+  /** Budget lookup as a literal map expression (tiny config): codegen-friendly
+    * `element_at` on a map literal — no per-row Scala UDF in the politeness
+    * window projection. Exactly `cfg.budgetFor(root).n`. */
   def budgetCol(cfg: Schemas.CrawlConfig, rootCol: Column): Column = {
-    val f = udf((root: String) => cfg.budgetFor(root).n)
-    f(rootCol)
+    import org.apache.spark.sql.functions.{coalesce, element_at, lit, typedlit}
+    val m: Map[String, Int] = cfg.rateLimits.map { case (k, v) => k -> v.n }
+    val dflt = cfg.rateLimits.get("*").map(_.n).getOrElse(10)
+    if (m.isEmpty) lit(dflt)
+    else coalesce(element_at(typedlit(m), rootCol), lit(dflt))
   }
 }

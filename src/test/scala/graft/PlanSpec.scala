@@ -60,6 +60,27 @@ class PlanSpec extends SparkSuite {
     pagesPrep.unpersist()
   }
 
+  test("politeness window projection stays inside codegen (no scala UDF)") {
+    val cfg = graft.wbot.Schemas.CrawlConfig(partitions = 4,
+      rateLimits = Map("*" -> graft.wbot.Schemas.Budget(3, 1000L),
+        "host0.com" -> graft.wbot.Schemas.Budget(7, 1000L)))
+    val frontier = SparkCrawler.seedFrontier(spark, Fixtures.seeds(Fixtures.tiny), cfg)
+    val scheduled = graft.wbot.Politeness.assignIntervals(frontier, cfg, salted = false)
+    scheduled.collect() // finalize the AQE plan so codegen stages are visible
+    val plan = planOf(scheduled)
+    assert(!plan.contains("UDF"), s"budget lookup fell back to a scala UDF:\n$plan")
+    assert(plan.contains("*("), s"expected a codegen stage around the interval projection:\n$plan")
+  }
+
+  test("global rank offsets are a literal-map lookup (no scala UDF)") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"u$i")).toDF("k", "v")
+    val ranked = graft.wbot.Ranks.globalRank(df, Seq(col("k")), "rnk", 4)
+    val plan = planOf(ranked)
+    assert(!plan.contains("UDF"), s"offset lookup fell back to a scala UDF:\n$plan")
+    assert(ranked.orderBy("rnk").select("k").as[Long].collect().toSeq == (1L to 100L))
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
