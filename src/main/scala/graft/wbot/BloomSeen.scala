@@ -1,6 +1,6 @@
 package graft.wbot
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.{Encoder, Encoders}
@@ -14,26 +14,33 @@ import org.apache.spark.sql.{Encoder, Encoders}
  *   - stores the exact seen set as a hash-partitioned table (anti-join = the
  *     exact membership test, the correctness backstop);
  *   - maintains P per-partition Bloom segments over `xxhash64(canon)` keyed
- *     by `pmod(hash64, P)`, merged with a two-level (tree) reduce and
- *     broadcast, so ~99% of duplicate candidates die before the anti-join
- *     shuffle. At 10^10 keys × 10 bits ≈ 12 GB total the per-segment
- *     broadcast is 12 GB / P (e.g. ~12 MB at P=1024) and each candidate
- *     consults only its own segment.
+ *     by `pmod(hash64, P)`, so ~99% of duplicate candidates die before the
+ *     anti-join shuffle.
  *
- * The filter itself is a plain double-hashed bitset (k probes derived from
- * the 64-bit key — standard Kirsch–Mitzenmacher construction), no external
- * deps, exact-merge via bitwise OR.
+ * The segments themselves live DISTRIBUTED, as a `(pid, bits)` dataset that
+ * is merged and checkpointed per superstep ([[SegmentStore]]) — never as a
+ * driver-resident array. Membership testing picks its physical strategy by
+ * total segment size:
+ *   - small (≤ broadcastMaxBytes): transient collect + broadcast + codegen'd
+ *     probe — the sandbox-scale fast path (a few MB);
+ *   - large: candidates shuffle on `pid` and hash-join their OWN segment
+ *     row — at the 10^10 design point (~12 GB of segments) each task holds
+ *     exactly one ~12 MB segment instead of every executor holding all 12 GB.
+ *
+ * The filter is a plain double-hashed bitset (k probes derived from the
+ * 64-bit key — standard Kirsch–Mitzenmacher construction), byte-addressed so
+ * buffers ride `Encoders.BINARY` (no Java serialization in the aggregator
+ * hot path), exact-merge via bitwise OR.
  */
 object BloomSeen {
 
-  final case class Segment(pid: Int, bits: Array[Long])
-
   def numHashes: Int = 5
 
-  def bitsFor(expectedKeys: Long, bitsPerKey: Int): Int = {
+  /** Segment size in BYTES for the expected per-segment key count. */
+  def bytesFor(expectedKeys: Long, bitsPerKey: Int): Int = {
     val bits = math.max(64L, expectedKeys * bitsPerKey.toLong)
-    // round up to power of two words, cap segment at 2^30 bits (128 MB)
-    math.min(bits, 1L << 30).toInt
+    // cap a segment at 2^30 bits (128 MB)
+    (math.min(bits, 1L << 30) / 8L).toInt.max(8)
   }
 
   @inline private def mix(z0: Long): Long = {
@@ -43,72 +50,159 @@ object BloomSeen {
     z ^ (z >>> 31)
   }
 
-  def add(bits: Array[Long], key: Long): Unit = {
-    val m = bits.length.toLong * 64L
+  def add(bits: Array[Byte], key: Long): Unit = {
+    val m = bits.length.toLong * 8L
     val h1 = mix(key); val h2 = mix(key ^ 0x5851f42d4c957f2dL) | 1L
     var i = 0
     while (i < numHashes) {
       val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, m)
-      bits((idx >>> 6).toInt) |= (1L << (idx & 63))
+      bits((idx >>> 3).toInt) = (bits((idx >>> 3).toInt) | (1 << (idx & 7)).toByte).toByte
       i += 1
     }
   }
 
-  def mightContain(bits: Array[Long], key: Long): Boolean = {
-    val m = bits.length.toLong * 64L
+  def mightContain(bits: Array[Byte], key: Long): Boolean = {
+    val m = bits.length.toLong * 8L
     val h1 = mix(key); val h2 = mix(key ^ 0x5851f42d4c957f2dL) | 1L
     var i = 0
     while (i < numHashes) {
       val idx = java.lang.Long.remainderUnsigned(h1 + i * h2, m)
-      if ((bits((idx >>> 6).toInt) & (1L << (idx & 63))) == 0L) return false
+      if ((bits((idx >>> 3).toInt) & (1 << (idx & 7))) == 0) return false
       i += 1
     }
     true
   }
 
-  /** Typed two-level merge aggregator: per-partition-group Bloom segment from
-    * hash64 keys (the north rule's "broadcast per-partition filter segments,
-    * merged via treeAggregate" — here the tree merge is the partial/final
-    * aggregation pair Catalyst plans for a typed Aggregator). */
-  final class SegmentAgg(numBits: Int) extends Aggregator[(Int, Long), Array[Long], Array[Long]] {
-    def zero: Array[Long] = new Array[Long](numBits / 64)
-    def reduce(b: Array[Long], kv: (Int, Long)): Array[Long] = { add(b, kv._2); b }
-    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
+  /** Typed two-level merge aggregator: per-pid Bloom segment from hash64
+    * keys. Partial/final aggregation is Catalyst's tree merge; buffers are
+    * raw bytes (`Encoders.BINARY`) — no ObjectOutputStream per partial.
+    *
+    * `zero` is a 0-length SENTINEL, not a zeroed segment: with the BINARY
+    * encoder the zero value's backing bytes can be shared across groups, so
+    * mutating it in `reduce` would leak one group's bits into the next
+    * (observed: segment i accumulating the OR of segments 0..i). Each group
+    * therefore allocates its own buffer on first reduce/merge. */
+  final class SegmentAgg(numBytes: Int) extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(b: Array[Byte], key: Long): Array[Byte] = {
+      val buf = if (b.length == 0) new Array[Byte](numBytes) else b
+      add(buf, key); buf
     }
-    def finish(r: Array[Long]): Array[Long] = r
-    def bufferEncoder: Encoder[Array[Long]] = Encoders.javaSerialization[Array[Long]]
-    def outputEncoder: Encoder[Array[Long]] = Encoders.javaSerialization[Array[Long]]
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      if (a.length == 0) return b.clone() // adopt defensively: b may alias a decoded row
+      if (b.length == 0) return a
+      var i = 0; while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }; a
+    }
+    def finish(r: Array[Byte]): Array[Byte] = if (r.length == 0) new Array[Byte](numBytes) else r
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  private def aggregateSegments(spark: SparkSession, df: DataFrame, p: Int,
-      numBits: Int): Array[(Int, Array[Long])] = {
+  /** OR-merge of already-built segments (delta ∪ previous). Same 0-length
+    * zero sentinel as [[SegmentAgg]]; inputs are cloned before first use so
+    * no decoded row buffer is ever mutated. */
+  final class OrAgg(numBytes: Int) extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(b: Array[Byte], x: Array[Byte]): Array[Byte] = {
+      if (b.length == 0) return x.clone()
+      var i = 0; while (i < b.length) { b(i) = (b(i) | x(i)).toByte; i += 1 }; b
+    }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      if (a.length == 0) return b
+      if (b.length == 0) return a
+      var i = 0; while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }; a
+    }
+    def finish(r: Array[Byte]): Array[Byte] = if (r.length == 0) new Array[Byte](numBytes) else r
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Aggregate a `hash64` column into per-pid segments (pids with no keys are
+    * simply absent — an absent segment means "definitely fresh"). */
+  private def segmentsOf(spark: SparkSession, df: DataFrame, p: Int,
+      numBytes: Int): DataFrame = {
     import spark.implicits._
     df.select(pmod(col("hash64"), lit(p)).cast("int").as("pid"), col("hash64"))
       .as[(Int, Long)]
       .groupByKey(_._1)
-      .agg(new SegmentAgg(numBits).toColumn.name("bits"))
-      .collect()
+      .mapValues(_._2)
+      .agg(new SegmentAgg(numBytes).toColumn.name("bits"))
+      .toDF("pid", "bits")
   }
 
   /**
-   * Build P segments from a seen DF with a `hash64` column; returns the
-   * broadcastable segment array (index = pid = pmod(hash64, P)).
+   * The distributed segment table: `(pid, bits)`, OR-merged and checkpointed
+   * per update. All driver state is this handle — the bit arrays themselves
+   * never accumulate on the driver.
    */
-  def buildSegments(spark: SparkSession, seen: DataFrame, p: Int,
-      expectedKeysPerSegment: Long, bitsPerKey: Int): Array[Array[Long]] = {
-    val numBits = bitsFor(expectedKeysPerSegment, bitsPerKey)
-    val segments = Array.fill(p)(new Array[Long](numBits / 64))
-    aggregateSegments(spark, seen, p, numBits).foreach { case (pid, bits) => segments(pid) = bits }
-    segments
-  }
+  final class SegmentStore(spark: SparkSession, val p: Int, val numBytes: Int,
+      broadcastMaxBytes: Long) {
+    private var segs: Option[DataFrame] = None // (pid, bits), localCheckpointed
 
-  /** Incrementally OR fresh keys into existing driver-held segments. */
-  def updateSegments(spark: SparkSession, segments: Array[Array[Long]], fresh: DataFrame, p: Int): Unit = {
-    val numBits = segments(0).length * 64
-    aggregateSegments(spark, fresh, p, numBits).foreach { case (pid, bits) =>
-      val dst = segments(pid)
-      var i = 0; while (i < dst.length) { dst(i) |= bits(i); i += 1 }
+    def totalBytes: Long = p.toLong * numBytes
+    def segments: Option[DataFrame] = segs
+
+    /** OR fresh keys (a `hash64` column) into the store — one distributed
+      * merge + eager checkpoint, nothing collected. */
+    def update(fresh: DataFrame): Unit = {
+      import spark.implicits._
+      val delta = segmentsOf(spark, fresh, p, numBytes)
+      val merged = segs match {
+        case None => delta
+        case Some(prev) =>
+          prev.unionByName(delta)
+            .as[(Int, Array[Byte])]
+            .groupByKey(_._1)
+            .mapValues(_._2)
+            .agg(new OrAgg(numBytes).toColumn.name("bits"))
+            .toDF("pid", "bits")
+      }
+      segs = Some(merged.localCheckpoint(true))
+    }
+
+    /**
+     * Adds a boolean `__might` column: false ⇒ definitely unseen (no false
+     * negatives). Broadcast-probes when the whole table is small; otherwise
+     * COGROUPS `df` with the segment table on pid — candidates shuffle to
+     * their segment's group, the segment row is decoded ONCE per group (never
+     * per candidate row), and each task holds exactly one segment.
+     */
+    def withMight(df: DataFrame, hash64Col: Column): DataFrame = segs match {
+      case None => df.withColumn("__might", lit(false))
+      case Some(s) if totalBytes <= broadcastMaxBytes =>
+        val arr = new Array[Array[Byte]](p)
+        s.collect().foreach(r => arr(r.getInt(0)) = r.getAs[Array[Byte]](1))
+        val segB = spark.sparkContext.broadcast(arr)
+        val pp = p
+        val might = udf((h64: Long) => {
+          val seg = segB.value(Math.floorMod(h64, pp.toLong).toInt)
+          seg != null && mightContain(seg, h64)
+        })
+        df.withColumn("__might", might(hash64Col))
+      case Some(s) =>
+        import spark.implicits._
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+        val withPid = df.withColumn("__h64", hash64Col)
+          .withColumn("__pid", pmod(hash64Col, lit(p)).cast("int"))
+        val inSchema = withPid.schema
+        val pidIdx = inSchema.fieldIndex("__pid")
+        val h64Idx = inSchema.fieldIndex("__h64")
+        val outSchema = StructType(
+          df.schema.fields :+ StructField("__might", BooleanType, nullable = false))
+        val nOut = df.schema.length
+        val candK = withPid.groupByKey(_.getInt(pidIdx))
+        val segK = s.as[(Int, Array[Byte])].groupByKey(_._1)
+        val cogrouped = candK.cogroup(segK) { (_, cands, segIt) =>
+          val seg = if (segIt.hasNext) segIt.next()._2 else null
+          cands.map { r =>
+            val vals = new Array[Any](nOut + 1)
+            var i = 0; while (i < nOut) { vals(i) = r.get(i); i += 1 }
+            vals(nOut) = seg != null && mightContain(seg, r.getLong(h64Idx))
+            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+          }
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+        cogrouped.toDF()
     }
   }
 }

@@ -97,6 +97,10 @@ object Schemas {
       strictPoliteness: Boolean = false, // true: physically drain per rate-interval
       bloomEnabled: Boolean = true,
       bloomBitsPerKey: Int = 10,
+      // seen-set Bloom distribution strategy cutover: total segment bytes at
+      // or below this broadcast (transient, per-superstep); above it,
+      // candidates pid-shuffle and hash-join their own segment row
+      bloomBroadcastMaxBytes: Long = 64L << 20,
       checkpointDir: Option[String] = None,
       maxSupersteps: Int = Int.MaxValue, // stop after N supersteps (resume testing / ops)
       recordStreams: Boolean = true // retain order/attempts streams (parity tests, sinks)

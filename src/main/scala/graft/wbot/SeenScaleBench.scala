@@ -66,29 +66,39 @@ object SeenScaleBench {
       cands.join(seen.select("hash"), Seq("hash"), "left_anti").count()
     }
 
-    // (b) Bloom segments: build (one-time, amortized over the whole crawl) +
-    // per-superstep prefilter + anti-join on survivors
-    val segments = timed(s"bloom build ($p segments, 10 bits/key)") {
-      BloomSeen.buildSegments(spark, seen, p, seenRows / p, 10)
+    // (b)/(c) Bloom segments through the distributed SegmentStore — build
+    // (one-time, amortized over the whole crawl), then the per-superstep
+    // prefilter + anti-join on survivors under BOTH distribution strategies:
+    // transient broadcast (sandbox scale) and pid-co-partitioned hash join
+    // (the 10^10 path where broadcasting every segment everywhere would cost
+    // ~12 GB per executor).
+    val numBytes = BloomSeen.bytesFor(seenRows / p, 10)
+    def runMode(label: String, broadcastMax: Long): Long = {
+      val store = new BloomSeen.SegmentStore(spark, p, numBytes, broadcastMax)
+      timed(s"bloom build ($p segments, 10 bits/key) [$label]") {
+        store.update(seen.select("hash64"))
+      }
+      val (fresh, killRate) = timed(s"bloom prefilter + anti-join on survivors [$label]") {
+        val marked = store.withMight(cands, col("hash64"))
+        val sure = marked.where(!col("__might")).drop("__might")
+        val suspect = marked.where(col("__might")).drop("__might")
+          .join(seen.select("hash"), Seq("hash"), "left_anti")
+        val sureN = sure.count()
+        val f = sureN + suspect.count()
+        (f, sureN.toDouble / math.max(1, candRows - candRows * dupPct / 100))
+      }
+      println(f"[seen-scale] [$label] fresh=$fresh; prefilter killed " +
+        f"${killRate * 100}%.1f%% of the anti-join's non-dup input")
+      fresh
     }
-    val segB = spark.sparkContext.broadcast(segments)
-    val might = udf((h: Long) =>
-      BloomSeen.mightContain(segB.value(Math.floorMod(h, p.toLong).toInt), h))
-    val (freshBloom, killRate) = timed("bloom prefilter + anti-join on survivors") {
-      val sure = cands.where(!might(col("hash64")))
-      val suspect = cands.where(might(col("hash64")))
-        .join(seen.select("hash"), Seq("hash"), "left_anti")
-      val sureN = sure.count()
-      val fresh = sureN + suspect.count()
-      (fresh, sureN.toDouble / math.max(1, candRows - candRows * dupPct / 100))
-    }
-    require(freshExact == freshBloom, s"bloom changed results: $freshExact vs $freshBloom")
-    println(f"[seen-scale] fresh=$freshExact identical both paths; prefilter killed " +
-      f"${killRate * 100}%.1f%% of the anti-join's non-dup input; segment bytes/seg=" +
-      s"${segments(0).length * 8}")
-    val totalBits = segments.map(_.length.toLong * 64).sum
-    println(s"[seen-scale] total bloom footprint: ${totalBits / 8 / 1024 / 1024} MB " +
-      s"(10^10 keys at 10 bits/key → ~12 GB split into P broadcastable segments)")
+    val freshBcast = runMode("broadcast", Long.MaxValue)
+    val freshJoin = runMode("pid-join", 0L)
+    require(freshExact == freshBcast && freshExact == freshJoin,
+      s"bloom changed results: exact=$freshExact bcast=$freshBcast join=$freshJoin")
+    println(s"[seen-scale] fresh=$freshExact identical on all three paths; " +
+      s"segment bytes/seg=$numBytes, total bloom footprint: " +
+      s"${p.toLong * numBytes / 1024 / 1024} MB (10^10 keys at 10 bits/key → " +
+      s"~12 GB split into P per-task-joinable segments)")
     spark.stop()
   }
 }

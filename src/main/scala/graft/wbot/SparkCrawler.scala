@@ -85,7 +85,7 @@ object SparkCrawler {
   }
 
   private final case class State(
-      frontier: DataFrame, seen: DataFrame, bloom: Array[Array[Long]],
+      frontier: DataFrame, seen: DataFrame, bloom: BloomSeen.SegmentStore,
       metrics: mutable.Map[String, Long], seqBase: Long, startDepth: Int,
       orderParts: mutable.ArrayBuffer[DataFrame],
       attemptParts: mutable.ArrayBuffer[DataFrame])
@@ -109,7 +109,7 @@ object SparkCrawler {
       "total_link" -> 0L, "crawled_link" -> 0L, "skipped_link" -> 0L,
       "duplicated_link" -> 0L)
     crawlLoop(spark, pagesPrep, cfg, saltedPoliteness,
-      State(frontier, seen, newBloom(cfg), m, seqBase, 0,
+      State(frontier, seen, newBloom(spark, cfg), m, seqBase, 0,
         mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
   }
 
@@ -128,9 +128,9 @@ object SparkCrawler {
         import spark.implicits._
         spark.emptyDataset[(String, Long)].toDF("hash", "hash64")
       }.persist(StorageLevel.MEMORY_AND_DISK)
-    val bloom = newBloom(cfg)
+    val bloom = newBloom(spark, cfg)
     if (bloom != null && !seen.isEmpty)
-      BloomSeen.updateSegments(spark, bloom, seen.select("hash64"), cfg.partitions)
+      bloom.update(seen.select("hash64"))
     val orderParts = mutable.ArrayBuffer.empty[DataFrame]
     st.readCrawled(spark, snap.lastStep).foreach(orderParts += _)
     val attemptParts = mutable.ArrayBuffer.empty[DataFrame]
@@ -140,10 +140,10 @@ object SparkCrawler {
         snap.lastStep + 1, orderParts, attemptParts))
   }
 
-  private def newBloom(cfg: CrawlConfig): Array[Array[Long]] =
+  private def newBloom(spark: SparkSession, cfg: CrawlConfig): BloomSeen.SegmentStore =
     if (cfg.bloomEnabled)
-      Array.fill(cfg.partitions)(
-        new Array[Long](BloomSeen.bitsFor(1L << 16, cfg.bloomBitsPerKey) / 64))
+      new BloomSeen.SegmentStore(spark, cfg.partitions,
+        BloomSeen.bytesFor(1L << 16, cfg.bloomBitsPerKey), cfg.bloomBroadcastMaxBytes)
     else null
 
   private def crawlLoop(spark: SparkSession, pagesPrep: DataFrame, cfg: CrawlConfig,
@@ -270,15 +270,14 @@ object SparkCrawler {
         firstsCache = firsts
 
         // Q4b: cross-superstep dedup — Bloom segment pre-filter (no false
-        // negatives → misses are definitely fresh), exact anti-join backstop
+        // negatives → misses are definitely fresh), exact anti-join backstop.
+        // The store picks broadcast vs pid-co-partitioned join by segment
+        // volume; either way only suspects enter the anti-join shuffle.
         val fresh0 =
           if (bloom != null) {
-            val segB = spark.sparkContext.broadcast(bloom)
-            val p = cfg.partitions
-            val might = udf((h64: Long) =>
-              BloomSeen.mightContain(segB.value(Math.floorMod(h64, p.toLong).toInt), h64))
-            val sure = firsts.where(!might(col("hash64")))
-            val suspect = firsts.where(might(col("hash64")))
+            val marked = bloom.withMight(firsts, col("hash64"))
+            val sure = marked.where(!col("__might")).drop("__might")
+            val suspect = marked.where(col("__might")).drop("__might")
               .join(seen.select("hash"), Seq("hash"), "left_anti")
             sure.unionByName(suspect)
           } else firsts.join(seen.select("hash"), Seq("hash"), "left_anti")
@@ -311,7 +310,7 @@ object SparkCrawler {
         // append to the bucketed seen table (Storage does exactly that when a
         // checkpointDir is configured).
         seenDeltas += freshCk.select(col("hash"), col("hash64"))
-        if (bloom != null) BloomSeen.updateSegments(spark, bloom, freshCk.select("hash64"), cfg.partitions)
+        if (bloom != null) bloom.update(freshCk.select("hash64"))
         seenDelta = Some(freshCk.select(col("hash"), col("hash64")))
 
         val oldFrontier = frontier

@@ -53,6 +53,13 @@ class CrawlerParitySpec extends SparkSuite {
     assertParity(tiny, tinySeeds, CrawlConfig(maxDepth = 3, partitions = 4, bloomEnabled = false))
   }
 
+  test("parity: distributed bloom segments (pid-co-partitioned join path)") {
+    // broadcastMaxBytes = 0 forces the 10^10-scale strategy: candidates
+    // shuffle on pid and hash-join their own segment row
+    assertParity(tiny, tinySeeds,
+      CrawlConfig(maxDepth = 3, partitions = 4, bloomBroadcastMaxBytes = 0L))
+  }
+
   test("parity: strict politeness (physical per-interval drain), small budget") {
     val cfg = CrawlConfig(maxDepth = 3, partitions = 4, strictPoliteness = true,
       rateLimits = Map("*" -> Budget(3, 1000L)))
