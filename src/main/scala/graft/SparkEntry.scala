@@ -174,6 +174,19 @@ object SparkEntry {
         .toDF().select(col("id"), col("n_bytes"), col("magic_hex"), col("width"), col("height"))
     }),
 
+    "q29_priority_drain" -> ((s, d) => { // O2: depth/score priority-queue drain
+      import graft.wbot.{Politeness, Schemas}
+      // events as a frontier: user = host root, value = drain priority
+      val frontier = t(s, d, "events").select(
+        col("event_id").as("seq"), col("user_id").cast("string").as("root"),
+        floor(col("value") * 1000).cast("long").as("score"),
+        lit(0).as("depth"), xxhash64(col("event_id")).as("hash64"))
+      val cfg = Schemas.CrawlConfig(rateLimits = Map("*" -> Schemas.Budget(5, 1000L)))
+      Politeness.assignIntervals(frontier, cfg, salted = false)
+        .select(col("seq").as("event_id"), col("root").cast("long").as("user_id"),
+          col("score"), col("interval").as("iv"))
+    }),
+
     // ---- the whole engine, end-to-end (no SQL oracle: UDF pipeline) ----
     "q24_crawl_tiny" -> ((s, _) => {
       import s.implicits._
@@ -381,6 +394,14 @@ object SparkEntry {
         |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
         |  sha256(text) AS exact_hash
         |FROM documents""".stripMargin,
+
+    "q29_priority_drain" ->
+      """SELECT event_id, user_id, score, CAST(floor((rn - 1) / 5.0) AS INTEGER) AS iv FROM (
+        |  SELECT event_id, user_id, CAST(floor(value * 1000) AS BIGINT) AS score,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY CAST(floor(value * 1000) AS BIGINT) DESC,
+        |                                     event_id) AS rn
+        |  FROM events)""".stripMargin,
 
     "q23_multimodal_meta" ->
       """SELECT doc_id,

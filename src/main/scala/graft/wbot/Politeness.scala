@@ -24,11 +24,17 @@ import org.apache.spark.sql.functions._
  */
 object Politeness {
 
+  /** The O2 drain order: a depth/score priority queue expressed as a ranked
+    * window — shallower first, then higher score, then FIFO seq (the unique
+    * tiebreak). With constant score this is exactly the reference's FIFO. */
+  private def drainOrder: Seq[org.apache.spark.sql.Column] =
+    Seq(col("depth").asc, col("score").desc, col("seq").asc)
+
   /** Adds `interval` (int, 0-based rate slot within this depth). */
   def assignIntervals(frontier: DataFrame, cfg: Schemas.CrawlConfig, salted: Boolean): DataFrame = {
     val budget = Udfs.budgetCol(cfg, col("root"))
     if (!salted) {
-      val w = Window.partitionBy(col("root")).orderBy(col("seq"))
+      val w = Window.partitionBy(col("root")).orderBy(drainOrder: _*)
       frontier
         .withColumn("__rn", row_number().over(w))
         .withColumn("interval", floor((col("__rn") - 1) / budget).cast("int"))
@@ -43,7 +49,7 @@ object Politeness {
             Window.partitionBy(col("root")).orderBy(col("__salt"))
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("root").as("__oroot"), col("__salt").as("__osalt"), col("__off"))
-      val w = Window.partitionBy(col("root"), col("__salt")).orderBy(col("seq"))
+      val w = Window.partitionBy(col("root"), col("__salt")).orderBy(drainOrder: _*)
       salted0
         .withColumn("__rn", row_number().over(w))
         .join(broadcast(offsets),

@@ -19,6 +19,7 @@ object Schemas {
       host: String, // URL host[:port] as parsed (Q1 operand, crawler.go:252)
       root: String, // registrable domain (politeness + rule key)
       depth: Int,
+      score: Long, // drain priority within a depth (O2); 0 everywhere ≡ pure FIFO
       seq: Long, // global BFS sequence (depth-major, FIFO within depth)
       ua: String, // sticky per-seed-branch user agent (crawler.go:279 quirk)
       proxy: String // sticky per-seed-branch proxy (crawler.go:180-182); "" = none
@@ -94,6 +95,12 @@ object Schemas {
       robots: Seq[RobotsRule] = Seq.empty,
       robotsStandardMode: Boolean = false, // false = reference parity (no-op gate)
       partitions: Int = 32, // P: hash-range partition count for seen/frontier
+      // O2: drain-priority SQL expression over the frontier columns
+      // (url, canon, hash, host, root, depth), cast to bigint; HIGHER scores
+      // drain earlier within a depth level. None ≡ constant 0 ≡ the
+      // reference's pure FIFO (queue.go:37-49). Schedule-only: crawl order
+      // (seq) and the seen set are score-invariant.
+      scoreExpr: Option[String] = None,
       strictPoliteness: Boolean = false, // true: physically drain per rate-interval
       bloomEnabled: Boolean = true,
       bloomBitsPerKey: Int = 10,

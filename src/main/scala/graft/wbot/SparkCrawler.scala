@@ -82,7 +82,13 @@ object SparkCrawler {
     spark.createDataset(rows)
       .toDF("url", "canon", "hash", "host", "root", "depth", "seq", "ua", "proxy")
       .withColumn("hash64", xxhash64(col("canon")))
+      .withColumn("score", scoreCol(cfg))
   }
+
+  /** O2 drain priority as a Catalyst column over the frontier fields; the
+    * default (no scoreExpr) is the reference's pure FIFO. */
+  private def scoreCol(cfg: CrawlConfig) =
+    cfg.scoreExpr.map(e => coalesce(expr(e).cast("long"), lit(0L))).getOrElse(lit(0L))
 
   private final case class State(
       frontier: DataFrame, seen: DataFrame, bloom: BloomSeen.SegmentStore,
@@ -292,8 +298,10 @@ object SparkCrawler {
         val fresh = rank.df
           .withColumn("seq", col("__rank") - 1 + lit(seqBase))
           .withColumn("depth", lit(d + 1))
+          .withColumn("score", scoreCol(cfg))
           .select(col("url"), col("canon"), col("hash"), col("hash64"),
-            col("host"), col("root"), col("depth"), col("seq"), col("ua"), col("proxy"))
+            col("host"), col("root"), col("depth"), col("score"), col("seq"),
+            col("ua"), col("proxy"))
         val freshCk = fresh.localCheckpoint(true) // materialize once
         val candStats = candObs.get // filled by the rank pass's jobs
         candTotal = candStats("n_cands").asInstanceOf[Long]

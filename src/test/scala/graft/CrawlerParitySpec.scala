@@ -60,6 +60,17 @@ class CrawlerParitySpec extends SparkSuite {
       CrawlConfig(maxDepth = 3, partitions = 4, bloomBroadcastMaxBytes = 0L))
   }
 
+  test("parity: score-priority drain is schedule-only (order/seen/metrics invariant)") {
+    // O2: a non-constant drain priority must change interval slots but NEVER
+    // crawl order, the seen set, or the counters
+    assertParity(tiny, tinySeeds, CrawlConfig(maxDepth = 3, partitions = 4,
+      scoreExpr = Some("length(url)"), rateLimits = Map("*" -> Budget(3, 1000L))))
+    // strict mode physically drains the priority schedule — still parity
+    assertParity(tiny, tinySeeds, CrawlConfig(maxDepth = 2, partitions = 4,
+      scoreExpr = Some("length(url)"), strictPoliteness = true,
+      rateLimits = Map("*" -> Budget(3, 1000L))))
+  }
+
   test("parity: strict politeness (physical per-interval drain), small budget") {
     val cfg = CrawlConfig(maxDepth = 3, partitions = 4, strictPoliteness = true,
       rateLimits = Map("*" -> Budget(3, 1000L)))
