@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
  * module supplies it:
  *
  *  - [[parse]]: a robots.txt parser (user-agent groups, Disallow/Allow
- *    lines — the subset the reference's robotstxt dependency would enforce
- *    for prefix rules), per the de-facto standard (RFC 9309 grouping rules).
+ *    lines with `*`/`$` patterns — what the reference's robotstxt dependency
+ *    would enforce), per RFC 9309 grouping rules; precedence (longest match
+ *    wins, Allow beats Disallow on ties) lives in `Schemas.robotsAllowed`.
  *  - [[rulesFromPages]]: bootstrap the robots table from the pages snapshot
  *    itself — fetch `http://<host>/robots.txt` for every host like a real
  *    crawler's robots prefetch, parse bodies distributedly, and collect the
@@ -44,10 +45,11 @@ object Robots {
             case "disallow" =>
               inGroupBody = true
               if (value.nonEmpty) agents.foreach(a =>
-                out += Schemas.RobotsRule(host, a, value))
-            case "allow" => // prefix-allow: recorded with empty disallow marker
-              inGroupBody = true // (engine enforces Disallow prefixes; Allow
-            // entries are accepted syntax but not needed by robotsAllowed)
+                out += Schemas.RobotsRule(host, a, allow = false, value))
+            case "allow" =>
+              inGroupBody = true
+              if (value.nonEmpty) agents.foreach(a =>
+                out += Schemas.RobotsRule(host, a, allow = true, value))
             case _ => // crawl-delay, sitemap, unknown: ignored
           }
         }
@@ -77,10 +79,10 @@ object Robots {
       .select(col("pcanon").as("canon"), col("html"))
     hosts.join(robotsPages, Seq("canon"))
       .select(explode(parseRules(col("host"), col("html"))).as("r"))
-      .select(col("r.host"), col("r.agent"), col("r.disallowPrefix"))
-      .as[(String, String, String)]
+      .select(col("r.host"), col("r.agent"), col("r.allow"), col("r.pattern"))
+      .as[(String, String, Boolean, String)]
       .collect()
-      .map { case (h, a, p) => Schemas.RobotsRule(h, a, p) }
+      .map { case (h, a, al, p) => Schemas.RobotsRule(h, a, al, p) }
       .toSeq
   }
 }

@@ -68,10 +68,27 @@ object Schemas {
     Budget(n, ms)
   }
 
-  /** Robots rules: host → disallowed path prefixes per agent. Empty = the
-    * reference's effective behavior (its robots map is never populated —
-    * `robot.go:32-41` always allows). */
-  final case class RobotsRule(host: String, agent: String, disallowPrefix: String)
+  /** One robots.txt rule: host-keyed Allow/Disallow path pattern per agent
+    * group (RFC 9309). `pattern` supports `*` (any sequence) and a trailing
+    * `$` end anchor. An empty rule set = the reference's effective behavior
+    * (its robots map is never populated — `robot.go:32-41` always allows). */
+  final case class RobotsRule(host: String, agent: String, allow: Boolean, pattern: String)
+
+  /** RFC 9309 path-pattern matching, compiled once per distinct pattern
+    * (the rule table is broadcast-small; paths number in the billions). */
+  object RobotsMatch {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]
+    def regexOf(pattern: String): java.util.regex.Pattern =
+      cache.computeIfAbsent(pattern, p => {
+        val anchored = p.endsWith("$")
+        val core = if (anchored) p.substring(0, p.length - 1) else p
+        val rx = "^" + core.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*") +
+          (if (anchored) "$" else "")
+        java.util.regex.Pattern.compile(rx)
+      })
+    def matches(pattern: String, path: String): Boolean =
+      regexOf(pattern).matcher(path).find()
+  }
 
   /** The 44-extension reject regex (`/root/reference/filter.go:10`), applied
     * to the decoded URL path. */
@@ -134,11 +151,29 @@ object Schemas {
     rule.allow.exists(p => java.util.regex.Pattern.compile(p).matcher(urlStr).find())
   }
 
-  /** Standard robots gate (host-keyed prefix rules, agent "*" fallback).
+  /** Standard robots gate per RFC 9309: pick the MOST SPECIFIC matching
+    * agent group (longest agent token the UA contains, case-insensitive;
+    * else the "*" group); within it the longest matching pattern wins, and
+    * Allow beats Disallow on equal length. No matching rule → allowed.
     * Reference parity mode uses an EMPTY rule set → always allow
-    * (`robot.go:35-38`). */
+    * (`robot.go:35-38` — its robotstxt dependency would enforce exactly
+    * this precedence if it were ever fed). */
   def robotsAllowed(rules: Seq[RobotsRule], host: String, path: String, ua: String): Boolean = {
-    val hostRules = rules.filter(r => r.host == host && (r.agent == "*" || ua.contains(r.agent)))
-    !hostRules.exists(r => r.disallowPrefix.nonEmpty && path.startsWith(r.disallowPrefix))
+    val hostRules = rules.filter(_.host == host)
+    if (hostRules.isEmpty) return true
+    val uaLower = ua.toLowerCase
+    val namedAgents = hostRules.iterator.map(_.agent)
+      .filter(a => a != "*" && uaLower.contains(a.toLowerCase)).toSeq
+    val group =
+      if (namedAgents.nonEmpty) {
+        val best = namedAgents.maxBy(_.length) // most specific group (§2.2.1)
+        hostRules.filter(_.agent.equalsIgnoreCase(best))
+      } else hostRules.filter(_.agent == "*")
+    val matching = group.filter(r => r.pattern.nonEmpty && RobotsMatch.matches(r.pattern, path))
+    if (matching.isEmpty) true
+    else {
+      val maxLen = matching.map(_.pattern.length).max
+      matching.filter(_.pattern.length == maxLen).exists(_.allow) // Allow wins ties
+    }
   }
 }

@@ -99,8 +99,10 @@ class CrawlerParitySpec extends SparkSuite {
 
   test("parity: standard robots mode (host-keyed disallow prefixes)") {
     val robots = Seq(
-      RobotsRule(Fixtures.hostName(tiny, 0), "*", "/d1/"),
-      RobotsRule(Fixtures.hostName(tiny, 2), "WBot", "/d2/"))
+      RobotsRule(Fixtures.hostName(tiny, 0), "*", allow = false, "/d1/"),
+      RobotsRule(Fixtures.hostName(tiny, 2), "WBot", allow = false, "/d2/"),
+      // RFC 9309 Allow precedence exercised inside the crawl itself
+      RobotsRule(Fixtures.hostName(tiny, 0), "*", allow = true, "/d1/p7"))
     assertParity(tiny, tinySeeds, CrawlConfig(maxDepth = 3, partitions = 4,
       robots = robots, robotsStandardMode = true))
   }

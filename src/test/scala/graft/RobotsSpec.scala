@@ -23,15 +23,64 @@ class RobotsSpec extends SparkSuite {
         |""".stripMargin
     val rules = Robots.parse("a.com", body)
     assert(rules.toSet == Set(
-      RobotsRule("a.com", "*", "/private/"),
-      RobotsRule("a.com", "*", "/tmp/"),
-      RobotsRule("a.com", "WBot", "/wbot-only/"),
-      RobotsRule("a.com", "OtherBot", "/wbot-only/")))
+      RobotsRule("a.com", "*", allow = false, "/private/"),
+      RobotsRule("a.com", "*", allow = false, "/tmp/"),
+      RobotsRule("a.com", "WBot", allow = false, "/wbot-only/"),
+      RobotsRule("a.com", "WBot", allow = true, "/wbot-only/except"),
+      RobotsRule("a.com", "OtherBot", allow = false, "/wbot-only/"),
+      RobotsRule("a.com", "OtherBot", allow = true, "/wbot-only/except")))
     // enforcement semantics
     assert(!robotsAllowed(rules, "a.com", "/private/x", "AnyAgent/1.0"))
     assert(robotsAllowed(rules, "a.com", "/public/x", "AnyAgent/1.0"))
     assert(!robotsAllowed(rules, "a.com", "/wbot-only/x", "WBot/v0.2.0"))
     assert(robotsAllowed(rules, "b.com", "/private/x", "AnyAgent/1.0")) // other host
+    // RFC 9309 Allow precedence: longer Allow overrides shorter Disallow
+    assert(robotsAllowed(rules, "a.com", "/wbot-only/except/page", "WBot/v0.2.0"))
+    // group selection: a named group REPLACES the * group for that agent
+    assert(robotsAllowed(rules, "a.com", "/private/x", "WBot/v0.2.0"))
+  }
+
+  test("RFC 9309 precedence: longest match wins, Allow beats Disallow on ties") {
+    val body =
+      """User-agent: *
+        |Disallow: /
+        |Allow: /public/
+        |Disallow: /public/private/
+        |Allow: /fish*.php$
+        |Disallow: /*.php
+        |Allow: /tie/
+        |Disallow: /tie/
+        |""".stripMargin
+    val rules = Robots.parse("a.com", body)
+    // Allow: /public/ (len 8) beats Disallow: / (len 1)
+    assert(robotsAllowed(rules, "a.com", "/public/x", "UA"))
+    // Disallow: /public/private/ (len 16) beats Allow: /public/ (len 8)
+    assert(!robotsAllowed(rules, "a.com", "/public/private/x", "UA"))
+    // bare Disallow: / blocks everything else
+    assert(!robotsAllowed(rules, "a.com", "/other", "UA"))
+    // wildcard + anchor: /fish*.php$ (len 11) beats /*.php (len 6)
+    assert(robotsAllowed(rules, "a.com", "/fishheads/catfish.php", "UA"))
+    assert(!robotsAllowed(rules, "a.com", "/fish.php?q=1", "UA")) // $ does not match query tail
+    assert(!robotsAllowed(rules, "a.com", "/cgi/script.php", "UA"))
+    // equal length: Allow wins
+    assert(robotsAllowed(rules, "a.com", "/tie/x", "UA"))
+  }
+
+  test("RFC 9309 group selection: most specific agent group applies alone") {
+    val body =
+      """User-agent: *
+        |Disallow: /all/
+        |User-agent: WBot
+        |Disallow: /wbot/
+        |User-agent: WBot/v0.2
+        |Disallow: /specific/
+        |""".stripMargin
+    val rules = Robots.parse("a.com", body)
+    // most specific named group (longest agent token the UA contains) wins
+    assert(!robotsAllowed(rules, "a.com", "/specific/x", "WBot/v0.2.0"))
+    assert(robotsAllowed(rules, "a.com", "/wbot/x", "WBot/v0.2.0")) // not merged
+    assert(robotsAllowed(rules, "a.com", "/all/x", "WBot/v0.2.0")) // * ignored
+    assert(!robotsAllowed(rules, "a.com", "/all/x", "SomeOther/1.0")) // * applies
   }
 
   test("robots rules bootstrap from the pages snapshot and gate the crawl") {
@@ -39,7 +88,7 @@ class RobotsSpec extends SparkSuite {
     val pages = SparkTestBase.pagesDf(spec)
     val rules = Robots.rulesFromPages(spark, pages)
     val expected = spec.robotsHosts.map(h =>
-      RobotsRule(Fixtures.hostName(spec, h), "*", "/d2/")).toSet
+      RobotsRule(Fixtures.hostName(spec, h), "*", allow = false, "/d2/")).toSet
     assert(rules.toSet == expected)
 
     val cfg = CrawlConfig(maxDepth = 3, partitions = 4,
