@@ -131,11 +131,21 @@ object SparkEntry {
             .cast("int").as("jaccard_x1000"))
     }),
 
-    "q17_embed_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 80L, 1L)),
+    "q17_embed_neardup" -> ((s, d) => {
+      // LSH-banded near-dup pairs (NO cross join) over a corpus with planted
+      // exact near-dups: each vec_id<80 vector plus a copy with dims 1-4
+      // sign-flipped (cosine ≈ 0.875, exact integer arithmetic → portable)
+      val base = t(s, d, "embeddings").where(col("vec_id") < 80)
+        .select(col("vec_id"), col("embedding"))
+      val flipped = base.select((col("vec_id") + 1000).as("vec_id"),
+        expr("concat(transform(slice(embedding, 1, 4), x -> -x), slice(embedding, 5, 60))")
+          .as("embedding"))
+      Dedup.embeddingNearDupPairs(base.unionByName(flipped), "vec_id", "embedding",
+        minQdot = 600000L, bands = 6, bitsPerBand = 6, dims = 64)
+    }),
 
-    "q25_simhash" -> ((s, d) => // no SQL oracle: xxhash64 is engine-specific
-      Dedup.simhash64(t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")),
+    "q25_simhash" -> ((s, d) => // md5-derived bits → DuckDB-checkable
+      Dedup.simhashMd5(t(s, d, "documents").where(col("doc_id") < 300), "doc_id", "text")),
 
     "q28_neardup_clusters" -> ((s, d) => { // LSH pairs → connected components
       val sigs = Dedup.minhashSignatures(t(s, d, "documents").where(col("doc_id") < 200),
@@ -150,9 +160,10 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
-    "q26_lsh_ann" -> ((s, d) => { // no SQL oracle: xxhash64 hyperplanes
+    "q26_lsh_ann" -> ((s, d) => { // md5 hyperplanes → DuckDB-checkable
       val emb = t(s, d, "embeddings")
-      Similarity.lshBucketTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 3, 8)
+      Similarity.lshBucketTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 3, bits = 8, dims = 64)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -200,7 +211,96 @@ object SparkEntry {
     })
   )
 
+  /** ±1 hyperplane sign, the SQL twin of `Similarity.planeSigns`: +qx iff
+    * md5("plane-p-<i>") starts with a hex char >= '8' (hex a..f > '8'). */
+  private def signCase(p: Int): String =
+    s"CASE WHEN substr(md5('plane-$p-' || CAST(i0 AS VARCHAR)), 1, 1) >= '8' THEN qx ELSE -qx END"
+
+  /** q17 oracle: replays the LSH-banded near-dup construction end-to-end in
+    * SQL — planted flip-pairs, quantized vectors, md5 hyperplane signs,
+    * banded bucket join, exact qdot verify. */
+  private def q17Oracle: String = {
+    val bands = 6; val w = 6
+    val dotCols = (0 until bands * w).map(p => s"SUM(${signCase(p)}) AS dot$p").mkString(", ")
+    val keyCols = (0 until bands).map { b =>
+      val terms = (0 until w).map(j =>
+        s"(CASE WHEN dot${b * w + j} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"($terms) AS key$b"
+    }.mkString(", ")
+    val bandUnion = (0 until bands)
+      .map(b => s"SELECT vec_id AS id, $b AS band, key$b AS bucket FROM keys")
+      .mkString(" UNION ALL ")
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 80),
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000 AS vec_id,
+       |         list_concat(list_transform(embedding[1:4], x -> -x), embedding[5:]) AS embedding
+       |  FROM base),
+       |q AS (SELECT vec_id, i - 1 AS i0, CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qx
+       |      FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+       |            FROM corpus)),
+       |dots AS (SELECT vec_id, $dotCols FROM q GROUP BY vec_id),
+       |keys AS (SELECT vec_id, $keyCols FROM dots),
+       |bands AS ($bandUnion),
+       |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |          FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+       |SELECT p.id_a, p.id_b, CAST(sum(qa.qx * qb.qx) AS BIGINT) AS qdot
+       |FROM pairs p
+       |JOIN q qa ON qa.vec_id = p.id_a
+       |JOIN q qb ON qb.vec_id = p.id_b AND qb.i0 = qa.i0
+       |GROUP BY p.id_a, p.id_b HAVING sum(qa.qx * qb.qx) >= 600000""".stripMargin
+  }
+
+  /** q26 oracle: the LSH ANN path — 8 md5 hyperplanes, bucket join, top-k. */
+  private def q26Oracle: String = {
+    val bits = 8
+    val dotCols = (0 until bits).map(p => s"SUM(${signCase(p)}) AS dot$p").mkString(", ")
+    val keyExpr = (0 until bits).map(p =>
+      s"(CASE WHEN dot$p > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id, i - 1 AS i0, CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qx
+       |           FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+       |                 FROM embeddings)),
+       |dots AS (SELECT vec_id, $dotCols FROM q GROUP BY vec_id),
+       |keys AS (SELECT vec_id, ($keyExpr) AS lsh_key FROM dots),
+       |scored AS (
+       |  SELECT kq.vec_id AS query_id, kc.vec_id AS nbr_id,
+       |         CAST(sum(vq.qx * vc.qx) AS BIGINT) AS qdot
+       |  FROM keys kq
+       |  JOIN keys kc ON kc.lsh_key = kq.lsh_key AND kc.vec_id <> kq.vec_id
+       |  JOIN q vq ON vq.vec_id = kq.vec_id
+       |  JOIN q vc ON vc.vec_id = kc.vec_id AND vc.i0 = vq.i0
+       |  WHERE kq.vec_id < 5
+       |  GROUP BY kq.vec_id, kc.vec_id)
+       |SELECT query_id, nbr_id, qdot, CAST(rank AS BIGINT) AS rank FROM (
+       |  SELECT query_id, nbr_id, qdot,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, nbr_id) AS rank
+       |  FROM scored) WHERE rank <= 3""".stripMargin
+  }
+
+  /** q25 oracle: md5-bit simhash votes → 16-hex-char signature. */
+  private def q25Oracle: String = {
+    val votes = (0 until 64).map { i =>
+      val src = if (i < 32) "ma" else "mb"
+      s"SUM(CASE WHEN substr($src, ${(i % 32) + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v_$i"
+    }.mkString(", ")
+    val nibbles = (0 until 16).map { j =>
+      val d = (0 until 4).map(b =>
+        s"(CASE WHEN v_${4 * j + b} > 0 THEN ${8 >> b} ELSE 0 END)").mkString(" + ")
+      s"substr('0123456789abcdef', ($d) + 1, 1)"
+    }.mkString(" || ")
+    s"""WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+       |              FROM documents WHERE doc_id < 300),
+       |hashed AS (SELECT id, md5(tok || '#a') AS ma, md5(tok || '#b') AS mb
+       |           FROM toks WHERE tok <> ''),
+       |votes AS (SELECT id, $votes FROM hashed GROUP BY id)
+       |SELECT id, $nibbles AS simhash_hex FROM votes""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q17_embed_neardup" -> q17Oracle,
+    "q25_simhash" -> q25Oracle,
+    "q26_lsh_ann" -> q26Oracle,
     "q01_sha_identity" ->
       "SELECT doc_id, sha256(text) AS content_hash FROM documents",
 
@@ -333,15 +433,6 @@ object SparkEntry {
         |FROM common c
         |JOIN sizes sa ON sa.doc_id = c.id_a
         |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin,
-
-    "q17_embed_neardup" ->
-      """WITH q AS (SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qx
-        |           FROM (SELECT vec_id, unnest(embedding) AS x,
-        |                        generate_subscripts(embedding, 1) AS i
-        |                 FROM embeddings WHERE vec_id < 80))
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(sum(a.qx * b.qx) AS BIGINT) AS qdot
-        |FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
-        |GROUP BY a.vec_id, b.vec_id HAVING sum(a.qx * b.qx) >= 1""".stripMargin,
 
     "q18_ann_topk" ->
       """WITH v AS (SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qx

@@ -57,20 +57,47 @@ object Dedup {
   /**
    * LSH banding: group signature columns into bands, bucket-join docs sharing
    * a band value → candidate near-dup pairs (a < b). The join is per-bucket:
-   * no O(n²) blowup as long as bucket sizes stay bounded.
+   * no O(n²) blowup as long as bucket sizes stay bounded — which
+   * `maxBucketSize` enforces: a degenerate bucket (e.g. a boilerplate shingle
+   * shared by millions of docs) would silently re-create the all-pairs space,
+   * so oversized buckets are dropped from pair GENERATION (their members
+   * still pair through their other, more selective bands). None = unguarded.
    */
-  def minhashBandPairs(sigs: DataFrame, idCol: String, numHashes: Int, bandSize: Int): DataFrame = {
+  def minhashBandPairs(sigs: DataFrame, idCol: String, numHashes: Int, bandSize: Int,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val bands = (0 until numHashes / bandSize).map { b =>
       val cols = (b * bandSize until (b + 1) * bandSize).map(i => col(s"sig_$i"))
       sigs.select(col(idCol).as("id"),
         lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
     }.reduce(_ unionByName _)
-    val a = bands.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = bands.select(col("band"), col("bucket"), col("id").as("id_b"))
+    bandedPairs(bands, maxBucketSize)
+  }
+
+  /** Self-join (band, bucket) rows into candidate pairs, with the oversized-
+    * bucket guard. Shared by MinHash banding and embedding LSH banding. */
+  def bandedPairs(bands: DataFrame, maxBucketSize: Option[Int]): DataFrame = {
+    val guarded = maxBucketSize match {
+      case None => bands
+      case Some(cap) =>
+        val sizes = bands.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__bucket_n"))
+        bands.join(sizes, Seq("band", "bucket"))
+          .where(col("__bucket_n") <= cap).drop("__bucket_n")
+    }
+    val a = guarded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = guarded.select(col("band"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }
+
+  /** Bucket-size distribution for a banded view — the observability hook for
+    * tuning `maxBucketSize` (log before a large pair-generation run). */
+  def bandBucketStats(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      .groupBy(col("band")).agg(
+        count(lit(1)).as("n_buckets"), max(col("n")).as("max_bucket"),
+        sum(col("n") * (col("n") - 1) / 2).as("pairs_upper_bound"))
 
   /** Token-n-gram Jaccard similarity for candidate pairs (exact verify stage
     * after LSH): |A∩B| / |A∪B| over distinct token n-grams. */
@@ -144,6 +171,32 @@ object Dedup {
     voted.select(col("id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
+  /**
+   * ENGINE-PORTABLE SimHash-64 (oracle-checkable, unlike [[simhash64]]'s
+   * xxhash64): token bit i = high bit of hex char of md5 — chars 0..31 of
+   * md5(tok || "#a") give bits 0..31, md5(tok || "#b") bits 32..63. Output is
+   * the 16-hex-char signature string (nibble j = bits 4j..4j+3 as 8·b+4·b+2·b+b),
+   * avoiding engines' differing bigint shift-overflow behavior at bit 63.
+   */
+  def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .withColumn("ma", md5(concat(col("tok"), lit("#a"))))
+      .withColumn("mb", md5(concat(col("tok"), lit("#b"))))
+    def bitAt(i: Int): Column = {
+      val src = if (i < 32) col("ma") else col("mb")
+      substring(src, (i % 32) + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")
+    }
+    val votes = (0 until 64).map(i => sum(when(bitAt(i), 1).otherwise(-1)).as(s"v_$i"))
+    val voted = toks.groupBy("id").agg(votes.head, votes.tail: _*)
+    val nibbles = (0 until 16).map { j =>
+      val d = (0 until 4).map(b =>
+        s"(CASE WHEN v_${4 * j + b} > 0 THEN ${8 >> b} ELSE 0 END)").mkString(" + ")
+      expr(s"substr('0123456789abcdef', ($d) + 1, 1)")
+    }
+    voted.select(col("id"), concat(nibbles: _*).as("simhash_hex"))
+  }
+
   /** Hamming distance between simhashes (for verify-stage pairing). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -158,10 +211,34 @@ object Dedup {
         floor(a.cast("double") * 1000).cast("long") * floor(b.cast("double") * 1000).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
+  /**
+   * Embedding near-dup pairs, THE SCALE PATH: sign-random-projection LSH
+   * bands generate candidates (a pair is a candidate iff it shares any
+   * band's bucket — see [[Similarity.withBandKeys]]), then the exact
+   * quantized dot verifies within candidates only. Work is
+   * O(N·bands + Σ bucket²) instead of the all-pairs O(N²); recall vs the
+   * exact cross-join is property-tested (EmbeddingNearDupSpec).
+   */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      maxId: Long, minQdot: Long): DataFrame = {
-    val a = emb.where(col(idCol) < maxId).select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = emb.where(col(idCol) < maxId).select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+      minQdot: Long, bands: Int, bitsPerBand: Int, dims: Int,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val keyed = Similarity.withBandKeys(emb, idCol, vecCol, bands, bitsPerBand, dims)
+      .withColumnRenamed(idCol, "id")
+    val cands = bandedPairs(keyed, maxBucketSize)
+    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), quantizedDot(col("vec_a"), col("vec_b")).as("qdot"))
+      .where(col("qdot") >= minQdot)
+  }
+
+  /** The exact all-pairs variant — O(n²) cross join, the small-N verify
+    * ORACLE for [[embeddingNearDupPairs]] (recall tests); never the scale
+    * path. */
+  def embeddingNearDupPairsExact(emb: DataFrame, idCol: String, vecCol: String,
+      minQdot: Long): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), quantizedDot(col("vec_a"), col("vec_b")).as("qdot"))
       .where(col("qdot") >= minQdot)

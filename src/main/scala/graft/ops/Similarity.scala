@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -10,18 +10,69 @@ import org.apache.spark.sql.functions._
  *
  * - [[bruteForceTopK]]: exact baseline — broadcast the (small) query set,
  *   one pass over the corpus, per-query top-k via ranked window. Linear in
- *   corpus size; the right answer oracle and still the best plan when the
+ *   corpus size; the right-answer oracle and still the best plan when the
  *   query set is small and the corpus scan is the floor anyway.
  * - [[lshBucketTopK]]: the scale path — sign-random-projection LSH (SimHash
  *   for vectors, Charikar 2002): hash every vector to a b-bit bucket key
  *   with deterministic pseudo-random hyperplanes, join queries to only their
- *   bucket (plus optional multi-probe), rank within bucket. Corpus-side work
- *   drops from O(N·Q) to O(N + Q·bucket).
+ *   bucket, rank within bucket. Corpus-side work drops from O(N·Q) to
+ *   O(N + Q·bucket).
  *
- * Both use the quantized integer dot product ([[Dedup.quantizedDot]]) so
- * scores are exact int64 — reproducible across engines and partitionings.
+ * Everything here is ENGINE-PORTABLE so DuckDB oracles can replay it
+ * exactly: vectors quantize to ×1000-floored int64 (integer sums are
+ * order-independent, unlike float reductions), and hyperplane signs derive
+ * from md5("plane-<p>-<i>") — sign = +1 iff the first hex char is >= '8'.
+ * The signs are computed ONCE on the driver and enter the plan as literal
+ * arrays: the per-row work is pure codegen'd integer arithmetic, no hashing.
  */
 object Similarity {
+
+  /** Deterministic ±1 hyperplane signs for plane `p` over `dims` dimensions:
+    * sign_i = +1 iff md5("plane-p-i") starts with a hex char >= '8'. Exactly
+    * reproducible in any engine with md5. */
+  def planeSigns(p: Int, dims: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dims) { i =>
+      md.reset()
+      val d = md.digest(s"plane-$p-$i".getBytes("UTF-8"))
+      if ((d(0) & 0x80) != 0) 1L else -1L // high bit of first byte = first hex char >= '8'
+    }
+  }
+
+  /** ×1000 floor-quantized int64 view of the embedding (exact, portable). */
+  def quantized(vecCol: String): Column =
+    expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000) as bigint))")
+
+  private def signedDot(qv: Column, signs: Array[Long]): Column =
+    aggregate(zip_with(qv, typedlit(signs), (q, s) => q * s), lit(0L), (acc, x) => acc + x)
+
+  /** b-bit sign-random-projection bucket key (planes 0..bits-1). */
+  def withLshKey(df: DataFrame, vecCol: String, bits: Int, dims: Int): DataFrame = {
+    val withQ = df.withColumn("__qv", quantized(vecCol))
+    val bitCols = (0 until bits).map { p =>
+      when(signedDot(col("__qv"), planeSigns(p, dims)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    withQ.withColumn("lsh_key", bitCols.reduce(_ bitwiseOR _)).drop("__qv")
+  }
+
+  /** Banded LSH keys for near-dup candidate generation: `bands` independent
+    * keys of `bitsPerBand` planes each (band b uses planes b·w..b·w+w-1),
+    * exploded to (id, band, bucket) rows — a pair is a candidate iff it
+    * shares ANY band's bucket (OR-amplification, as in MinHash banding). */
+  def withBandKeys(df: DataFrame, idCol: String, vecCol: String,
+      bands: Int, bitsPerBand: Int, dims: Int): DataFrame = {
+    val withQ = df.withColumn("__qv", quantized(vecCol))
+    val bandCols = (0 until bands).map { b =>
+      val key = (0 until bitsPerBand).map { j =>
+        when(signedDot(col("__qv"), planeSigns(b * bitsPerBand + j, dims)) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+      struct(lit(b).as("band"), key.as("bucket"))
+    }
+    withQ
+      .withColumn("__bk", explode(array(bandCols: _*)))
+      .select(col(idCol), col("__bk.band").as("band"), col("__bk.bucket").as("bucket"))
+  }
 
   /** Exact top-k: corpus × broadcast(queries), ranked window per query. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -37,28 +88,13 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * a reproducible ±1 from xxhash64 — no RNG state, fully distributed. */
-  private def signFor(plane: Int) =
-    expr(s"transform(vec_d, (x, i) -> if(((xxhash64(concat('plane-$plane-', cast(i as string))) >> 7) & 1) = 1, x, -x))")
-
-  /** b-bit sign-random-projection bucket key for every row. */
-  def withLshKey(df: DataFrame, vecCol: String, bits: Int): DataFrame = {
-    val withD = df.withColumn("vec_d", expr(s"transform($vecCol, x -> cast(x as double))"))
-    val bitCols = (0 until bits).map { p =>
-      val dot = aggregate(signFor(p), lit(0.0d), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    withD.withColumn("lsh_key", bitCols.reduce(_ bitwiseOR _)).drop("vec_d")
-  }
-
   /** ANN via LSH buckets: join query buckets to corpus buckets, rank within.
     * Recall < 1 by construction; `bits` trades bucket size vs recall. */
   def lshBucketTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int): DataFrame = {
-    val c = withLshKey(corpus, vecCol, bits)
+      vecCol: String, k: Int, bits: Int, dims: Int): DataFrame = {
+    val c = withLshKey(corpus, vecCol, bits, dims)
       .select(col(idCol).as("nbr_id"), col(vecCol).as("nvec"), col("lsh_key"))
-    val q = withLshKey(queries, vecCol, bits)
+    val q = withLshKey(queries, vecCol, bits, dims)
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("lsh_key"))
     val scored = c.join(broadcast(q), Seq("lsh_key"))
       .where(col("nbr_id") =!= col("query_id"))

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+
+/**
+ * Recall/precision properties of the LSH-bucketed embedding paths against
+ * their exact brute-force oracles — everything is deterministic (md5
+ * hyperplanes + fixed test vectors), so the measured recall is a constant
+ * the assertions pin a floor under.
+ */
+class EmbeddingLshSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  /** vec_id<n originals plus sign-flip near-dups (cosine ≈ 0.875) at id+1000. */
+  private def planted(n: Int) = {
+    val base = emb.where(col("vec_id") < n).select(col("vec_id"), col("embedding"))
+    base.unionByName(base.select((col("vec_id") + 1000).as("vec_id"),
+      expr("concat(transform(slice(embedding, 1, 4), x -> -x), slice(embedding, 5, 60))")
+        .as("embedding")))
+  }
+
+  test("banded near-dup pairs: precision 1 vs exact, recall >= 0.85 on planted dups") {
+    val corpus = planted(80)
+    val lsh = Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding",
+      minQdot = 600000L, bands = 6, bitsPerBand = 6, dims = 64)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingNearDupPairsExact(corpus, "vec_id", "embedding", 600000L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain planted near-dups")
+    assert(lsh.subsetOf(exact), "verify stage must make precision exactly 1")
+    val recall = lsh.size.toDouble / exact.size
+    info(s"banded recall = $recall (${lsh.size}/${exact.size})")
+    assert(recall >= 0.85, s"recall too low: $recall")
+  }
+
+  test("lsh ANN: every returned neighbor is bucket-exact; recall@1 on planted NNs") {
+    // queries = flipped copies; each query's TRUE nearest neighbor is its
+    // original vector (cosine ≈ 0.875 vs ≤ ~0.5 background)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val queries = planted(40).where(col("vec_id") >= 1000)
+    val k = 3
+    val lsh = Similarity.lshBucketTopK(corpus, queries, "vec_id", "embedding", k,
+      bits = 4, dims = 64)
+      .select("query_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 1)
+      .select("query_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // sanity: brute force finds the planted originals
+    assert(bf.count { case (q, n) => n == q - 1000 } >= 38,
+      "brute-force oracle should recover nearly all planted NNs")
+    val hit = bf.count { case (q, n) => lsh.contains((q, n)) }
+    val recall = hit.toDouble / bf.length
+    info(s"lsh recall@$k of true-NN = $recall ($hit/${bf.length})")
+    assert(recall >= 0.4, s"LSH ANN recall collapsed: $recall")
+  }
+
+  test("bucket-size cap drops degenerate buckets from pair generation") {
+    import spark.implicits._
+    // one mega-bucket (shared by ids 0..99) + selective buckets pairing (0,1)
+    val bands = (0L until 100L).map(i => (i, 0, "MEGA")).toDF("id", "band", "bucket")
+      .unionByName(Seq((0L, 1, "sel-a"), (1L, 1, "sel-a")).toDF("id", "band", "bucket"))
+    val unguarded = Dedup.bandedPairs(bands, None).count()
+    assert(unguarded == 100L * 99 / 2) // mega bucket explodes into all pairs
+    val guarded = Dedup.bandedPairs(bands, Some(10)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == Set((0L, 1L)), "cap must keep only the selective band's pair")
+    // observability hook reports the blowup
+    val stats = Dedup.bandBucketStats(bands).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(stats(0) == 100L && stats(1) == 2L)
+  }
+}
