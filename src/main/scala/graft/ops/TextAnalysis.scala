@@ -56,13 +56,27 @@ object TextAnalysis {
       when(nChars >= 100 && nChars <= 10000, lit(1)).otherwise(lit(0)).as("length_ok"))
   }
 
-  /** Token statistics: whitespace tokens + a BPE-ish word/punct split count. */
+  /** BPE-style pre-tokenization pieces (the GPT-2 pattern's portable subset:
+    * contractions, space-prefixed letter runs, digit runs, punctuation runs —
+    * NO lookahead, so the identical pattern runs on Java regex (Spark) and
+    * RE2 (DuckDB/engines that ban backtracking)). */
+  val bpePiecePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** All BPE-ish pieces of a text column, as an array. */
+  def bpePieces(textCol: Column): Column =
+    regexp_extract_all(textCol, lit(bpePiecePattern), lit(0))
+
+  /** Token statistics: whitespace tokens + the BPE-ish piece split. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val wsToks = split(col(textCol), " ")
+    val pieces = bpePieces(col(textCol))
     df.select(
       col(idCol),
       size(wsToks).cast("long").as("n_ws_tokens"),
       size(array_distinct(wsToks)).cast("long").as("n_distinct_tokens"),
+      size(pieces).cast("long").as("n_bpe_pieces"),
+      size(array_distinct(pieces)).cast("long").as("n_distinct_pieces"),
       length(col(textCol)).cast("long").as("n_chars"))
   }
 

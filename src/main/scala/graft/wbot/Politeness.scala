@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
  * blocking token bucket (`/root/reference/limiter.go:22-59`) re-expressed as
  * a ranked-window drain: within a depth level, each URL is assigned a rate
  * interval `⌊(rank_within_host − 1) / budget⌋`; interval i may start no
- * earlier than i × interval-length. At `WithParallel(1)` the reference's
- * bucket never reorders the FIFO (it only delays), so interval assignment
- * affects SCHEDULE, never crawl order — order lives in `seq`.
+ * earlier than i × interval-length. The rank itself is the O2 drain order —
+ * a depth/score PRIORITY queue (higher `score` drains first, `seq` breaks
+ * ties), degenerating to the reference's exact FIFO at constant score. At
+ * `WithParallel(1)` the reference's bucket never reorders the FIFO (it only
+ * delays), so interval assignment affects SCHEDULE, never crawl order —
+ * order lives in `seq`.
  *
  * Two physical strategies:
  *  - windowed: exact per-host FIFO rank (`row_number` over `partitionBy(root)`).

@@ -119,6 +119,11 @@ object Schemas {
       // (seq) and the seen set are score-invariant.
       scoreExpr: Option[String] = None,
       strictPoliteness: Boolean = false, // true: physically drain per rate-interval
+      // with strictPoliteness: pace interval drains in WALL-CLOCK time — slot
+      // i's fetch starts no earlier than i × (longest configured budget
+      // interval), the reference's blocking token bucket (limiter.go:52-59)
+      // for a continuous service. Off for batch/bench (logical slots only).
+      paceWallClock: Boolean = false,
       bloomEnabled: Boolean = true,
       bloomBitsPerKey: Int = 10,
       // seen-set Bloom distribution strategy cutover: total segment bytes at

@@ -175,6 +175,29 @@ object SparkCrawler {
       stepsRun += 1
       val t0 = System.nanoTime()
 
+      // FAST TERMINAL SUPERSTEP: no expansion, no recorded streams, no
+      // strict drains — nothing downstream consumes the join payload, so the
+      // hit count is a column-pruned SEMI join (the html bytes never ride a
+      // cache) and politeness intervals (schedule-only metadata nothing
+      // records) are skipped entirely. Metrics are identical by definition.
+      if (d >= cfg.maxDepth && !cfg.recordStreams && !cfg.strictPoliteness) {
+        m("total_requests") += frontierSize
+        val fetched = frontier.join(pagesPrep.select("canon"), Seq("canon"), "left_semi").count()
+        m("successful_requests") += fetched
+        m("failed_requests") += frontierSize - fetched
+        val oldFrontier = frontier
+        frontier = spark.emptyDataset[FrontierRow].toDF
+        oldFrontier.unpersist()
+        storage.foreach { s =>
+          s.commitStep(d, frontier, None, emptyOrder(spark), emptyAttempts(spark),
+            m.toMap, seqBase)
+        }
+        steps += StepStat(d, frontierSize, fetched, frontierSize - fetched, 0L, 0L, 0L, 0,
+          (System.nanoTime() - t0) / 1000000L)
+        frontierSize = 0L
+        d += 1
+      } else {
+
       // R1: politeness schedule — rate-interval slots within this depth.
       // Job-count discipline: every driver action is a scheduling round-trip,
       // so the per-superstep counters (interval span, hit count, candidate
@@ -203,10 +226,22 @@ object SparkCrawler {
         fr.join(pagesPrep.drop("hash64"), Seq("canon"), "left")
       val fetchObs = new org.apache.spark.sql.Observation(s"fetch_d${d}_s$stepsRun")
       val joined = (
-        if (cfg.strictPoliteness && strictIntervals > 1)
-          (0 until strictIntervals).map(i => fetchJoin(scheduled.where(col("interval") === i)))
-            .reduce(_ unionByName _)
-        else fetchJoin(scheduled)
+        if (cfg.strictPoliteness && strictIntervals > 1) {
+          // wall-clock pacing (limiter.go:52-59 semantics): slot i's fetch is
+          // MATERIALIZED no earlier than i × slot-length; safe slot length =
+          // the longest configured budget interval
+          val slotMs =
+            if (cfg.paceWallClock) cfg.rateLimits.values.map(_.intervalMs).max else 0L
+          val tPace0 = System.nanoTime()
+          (0 until strictIntervals).map { i =>
+            val part = fetchJoin(scheduled.where(col("interval") === i))
+            if (cfg.paceWallClock) {
+              val sleepMs = (tPace0 + i * slotMs * 1000000L - System.nanoTime()) / 1000000L
+              if (sleepMs > 0) Thread.sleep(sleepMs)
+              part.localCheckpoint(true) // fetch happens NOW, inside its slot
+            } else part
+          }.reduce(_ unionByName _)
+        } else fetchJoin(scheduled)
       ).observe(fetchObs,
           sum(when(col("html").isNotNull, 1L).otherwise(0L)).as("fetched"))
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
@@ -214,13 +249,17 @@ object SparkCrawler {
       val hits = joined.where(col("html").isNotNull)
       var actionRan = false
       if (cfg.recordStreams) {
-        // localCheckpoint: these outlive the per-superstep caches they derive from
-        attemptParts += joined.select(col("seq"), col("canon"), col("depth"),
-          col("html").isNotNull.as("hit"), lit(d).as("superstep")).localCheckpoint(true)
-        orderParts += hits.select(col("seq"), col("url"), col("canon"), col("hash"),
-          col("depth"), lit(200).as("status"), lit(d).as("superstep"), col("interval"),
-          col("ua"), col("proxy"))
+        // ONE localCheckpoint (outlives the per-superstep caches it derives
+        // from); the attempts and order streams are lazy views over it
+        val ck = joined.select(col("seq"), col("url"), col("canon"), col("hash"),
+          col("depth"), col("interval"), col("ua"), col("proxy"),
+          col("html").isNotNull.as("hit"), lit(d).as("superstep"))
           .localCheckpoint(true)
+        attemptParts += ck.select(col("seq"), col("canon"), col("depth"), col("hit"),
+          col("superstep"))
+        orderParts += ck.where(col("hit")).select(col("seq"), col("url"), col("canon"),
+          col("hash"), col("depth"), lit(200).as("status"), col("superstep"),
+          col("interval"), col("ua"), col("proxy"))
         actionRan = true
       }
 
@@ -288,14 +327,24 @@ object SparkCrawler {
             sure.unionByName(suspect)
           } else firsts.join(seen.select("hash"), Seq("hash"), "left_anti")
 
-        // O1: reify FIFO order — scalable global rank over discovery order.
-        // The rank pass's offset collect doubles as the fresh count (one job).
-        val rank = Ranks.globalRankWithCount(fresh0, Seq(col("parent_seq"), col("link_pos")),
-          "__rank", cfg.partitions)
-        rankCache = rank.cached
-        actionRan = true // globalRank materialized the chain (counts action)
-        freshCount = rank.total
-        val fresh = rank.df
+        // O1: reify FIFO order. Small frontiers (the early supersteps) rank
+        // through one partition directly — two fewer scheduling round-trips
+        // (no range-sampling pass, no offsets collect) on data where a single
+        // task beats the job overhead; large frontiers use the scalable
+        // range-partitioned rank (no single-partition window at scale).
+        val smallFrontier = frontierSize <= 20000
+        val ranked =
+          if (smallFrontier)
+            fresh0.withColumn("__rank",
+              row_number().over(Window.orderBy(col("parent_seq"), col("link_pos"))).cast("long"))
+          else {
+            val rank = Ranks.globalRankWithCount(fresh0, Seq(col("parent_seq"), col("link_pos")),
+              "__rank", cfg.partitions)
+            rankCache = rank.cached
+            freshCount = rank.total
+            rank.df
+          }
+        val fresh = ranked
           .withColumn("seq", col("__rank") - 1 + lit(seqBase))
           .withColumn("depth", lit(d + 1))
           .withColumn("score", scoreCol(cfg))
@@ -303,7 +352,9 @@ object SparkCrawler {
             col("host"), col("root"), col("depth"), col("score"), col("seq"),
             col("ua"), col("proxy"))
         val freshCk = fresh.localCheckpoint(true) // materialize once
-        val candStats = candObs.get // filled by the rank pass's jobs
+        actionRan = true // the checkpoint (and rank pass, when used) ran jobs
+        if (smallFrontier) freshCount = freshCk.count() // local scan of checkpointed blocks
+        val candStats = candObs.get // filled by this superstep's jobs
         candTotal = candStats("n_cands").asInstanceOf[Long]
         passedCount = Option(candStats("n_passed")).fold(0L)(_.asInstanceOf[Long])
         m("total_link") += candTotal
@@ -356,6 +407,7 @@ object SparkCrawler {
 
       frontierSize = if (d < cfg.maxDepth) freshCount else 0L
       d += 1
+      } // end full superstep
     }
 
     val order = orderParts.reduceOption(_ unionByName _).getOrElse(emptyOrder(spark))

@@ -81,6 +81,18 @@ class CrawlerParitySpec extends SparkSuite {
     assert(over.isEmpty)
   }
 
+  test("parity: wall-clock paced strict drain (limiter.go blocking semantics)") {
+    val cfg = CrawlConfig(maxDepth = 2, partitions = 4, strictPoliteness = true,
+      paceWallClock = true, rateLimits = Map("*" -> Budget(4, 150L)))
+    val t0 = System.nanoTime()
+    val run = assertParity(tiny, tinySeeds, cfg)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    // every superstep with k intervals must take >= (k-1) x 150ms wall
+    val minWall = run.steps.map(s => math.max(0, s.intervals - 1) * 150L).sum
+    assert(minWall > 0, "fixture should produce multi-interval supersteps")
+    assert(elapsedMs >= minWall, s"paced run finished too fast: $elapsedMs < $minWall")
+  }
+
   test("parity: salted politeness schedule does not change order/seen/metrics") {
     assertParity(tiny, tinySeeds, CrawlConfig(maxDepth = 3, partitions = 4), salted = true)
   }
