@@ -1,0 +1,70 @@
+#!/bin/bash
+# N vs 4N EXECUTOR scaling pairs on real multi-JVM local-cluster masters:
+#   level A: local-cluster[1,2,<mem>]  (N  = 1 executor  x 2 cores)
+#   level B: local-cluster[4,2,<mem>]  (4N = 4 executors x 2 cores)
+# Same per-executor shape, same input, fresh driver JVM per run, taskset-
+# pinned away from cpu0 (host IRQ noise), probe-verified windows.
+# Usage: bench/run_cluster_pairs.sh <pairs> [out] [nHosts pph skew maxDepth fanMin fanRand]
+set -uo pipefail
+cd "$(dirname "$0")/.."
+PAIRS=${1:-3}
+OUT=${2:-/tmp/cluster_pairs.txt}
+NH=${3:-200}; PPH=${4:-20000}; SKEW=${5:-1}; MD=${6:-4}; FMIN=${7:-12}; FRAND=${8:-4}
+MEM=${SPARK_DRIVER_MEM:-6g}
+EXEC_MEM=${EXEC_MEM:-4096}
+PROBE_MAX=${PROBE_MAX:-0.40}
+JAR="$PWD/target/scala-2.13/wbotspark_2.13-0.1.0.jar"
+
+CP="$JAR:/opt/spark/jars/*"
+OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+--add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED \
+--add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED \
+--add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED \
+--add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+--add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED \
+--add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+
+probe() {
+  taskset -c 30 python3 - <<'PY'
+import time, statistics
+ts=[]
+for _ in range(3):
+    t0=time.perf_counter()
+    s=0
+    for i in range(3_000_000): s+=i*i
+    ts.append(time.perf_counter()-t0)
+print(f"{statistics.median(ts):.3f}")
+PY
+}
+
+runlevel() { # nWorkers totalCores pin outfile
+  local NW=$1 CORES=$2 PIN=$3 F=$4
+  SPARK_SCALA_VERSION=2.13 SPARK_JARS="file:$JAR" \
+  SPARK_MASTER="local-cluster[$NW,2,$EXEC_MEM]" SPARK_GRAFT_OFFHEAP=${OFFHEAP:-8g} \
+  taskset -c "$PIN" java -Xmx"$MEM" $OPENS -Dspark.ui.enabled=false -cp "$CP" \
+    graft.wbot.CrawlBench run "$CORES" "$F" "$NH" "$PPH" "$SKEW" "$MD" "$FMIN" "$FRAND" \
+    2>/dev/null | grep -o 'cores=[0-9]* wall=[0-9.]* urls=[0-9]* rate=[0-9.]*' | head -1
+}
+
+for P in $(seq 1 "$PAIRS"); do
+  P0=$(probe)
+  R1=$(runlevel 1 2 "4-7" "$OUT.n1")      # 1 executor x2 cores + driver, away from cpu0
+  P1=$(probe)
+  R4=$(runlevel 4 8 "4-13" "$OUT.n4")     # 4 executors x2 cores + driver
+  P2=$(probe)
+  RATE1=$(echo "$R1" | grep -o 'rate=[0-9.]*' | cut -d= -f2)
+  RATE4=$(echo "$R4" | grep -o 'rate=[0-9.]*' | cut -d= -f2)
+  QUIET=$(python3 -c "print('quiet' if max($P0,$P1,$P2) <= $PROBE_MAX else 'loud')")
+  EFF=$(python3 -c "print(f'{($RATE4/$RATE1)/4:.3f}')" 2>/dev/null || echo "nan")
+  echo "pair=$P probes=$P0,$P1,$P2 window=$QUIET rate_n1=$RATE1 rate_n4=$RATE4 eff=$EFF" | tee -a "$OUT"
+done
+echo "--- summary ---"
+python3 - "$OUT" <<'PY'
+import sys, statistics
+effs=[]
+for line in open(sys.argv[1]):
+    if 'window=quiet' in line:
+        effs.append(float(line.split('eff=')[1].strip()))
+print(f"quiet pairs: {len(effs)}; efficiencies: {effs}")
+if effs: print(f"median efficiency: {statistics.median(effs):.3f}")
+PY

@@ -52,9 +52,14 @@ object CrawlBench {
   }
 
   def runAt(cores: Int, spec: Fixtures.SiteSpec, maxDepth: Int): LevelResult = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+    // SPARK_MASTER overrides the single-JVM default — e.g.
+    // `local-cluster[4,2,4096]` runs 4 REAL executor JVMs × 2 cores (the
+    // honest N vs 4N EXECUTORS substitute: isolated heaps, netty shuffle,
+    // real broadcast fetch). Ship the app jar via SPARK_JARS for that mode.
+    val builder0 = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cores]"))
       .appName(s"wbot-crawl-bench-$cores")
+    val spark = sys.env.get("SPARK_JARS").fold(builder0)(j => builder0.config("spark.jars", j))
       .config("spark.sql.shuffle.partitions", (2 * cores).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled",
