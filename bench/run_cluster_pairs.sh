@@ -11,7 +11,7 @@ PAIRS=${1:-3}
 OUT=${2:-/tmp/cluster_pairs.txt}
 NH=${3:-200}; PPH=${4:-20000}; SKEW=${5:-1}; MD=${6:-4}; FMIN=${7:-12}; FRAND=${8:-4}
 MEM=${SPARK_DRIVER_MEM:-6g}
-EXEC_MEM=${EXEC_MEM:-4096}
+EXEC_MEM=${EXEC_MEM:-8192}
 PROBE_MAX=${PROBE_MAX:-0.40}
 JAR="$PWD/target/scala-2.13/wbotspark_2.13-0.1.0.jar"
 

@@ -83,9 +83,13 @@ object CrawlBench {
       warmPrep.unpersist()
 
       val pages = Fixtures.pagesDf(spark, spec)
-      val cfg = Schemas.CrawlConfig(maxDepth = maxDepth, partitions = cores,
+      // partition count is DATA-sized, not core-sized (identical logical job
+      // at every parallelism level; ~125k pages/partition at the 4M spec —
+      // core-sized partitions OOM the columnar cache builder at low levels)
+      val parts = math.max(32, cores)
+      val cfg = Schemas.CrawlConfig(maxDepth = maxDepth, partitions = parts,
         recordStreams = false)
-      val pagesPrep = SparkCrawler.preparePages(pages, cores)
+      val pagesPrep = SparkCrawler.preparePages(pages, parts)
       pagesPrep.count() // materialize input outside the timed section
       val t0 = System.nanoTime()
       val run = SparkCrawler.runPrepared(spark, pagesPrep, Fixtures.seedsAll(spec), cfg,

@@ -35,8 +35,13 @@ object Ranks {
   def globalRankWithCount(df: DataFrame, keys: Seq[Column], outCol: String,
       numPartitions: Int): RankResult = {
     // cache the INPUT: repartitionByRange adds a sampling pass, which would
-    // otherwise recompute the (typically expensive) upstream chain twice
-    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // otherwise recompute the (typically expensive) upstream chain twice.
+    // Off-heap when available: these are bulk row caches, not driver state.
+    val offHeap = org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.memory.offHeap.enabled").contains("true")
+    val in = df.persist(
+      if (offHeap) org.apache.spark.storage.StorageLevel.OFF_HEAP
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val ranged = in.repartitionByRange(math.max(1, numPartitions), keys: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

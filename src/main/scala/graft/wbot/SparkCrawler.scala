@@ -67,6 +67,16 @@ object SparkCrawler {
           .getOption("spark.memory.offHeap.enabled").contains("true")) StorageLevel.OFF_HEAP
         else StorageLevel.MEMORY_AND_DISK_SER)
 
+
+  /** Storage level for the engine's bulk caches: off-heap when the session
+    * has an off-heap pool (columnar bytes stay out of the GC'd heap — the
+    * executor heap only pays the transient batch-build buffers), serialized
+    * on-heap + disk otherwise. */
+  private def bulkLevel: StorageLevel =
+    if (org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.memory.offHeap.enabled").contains("true")) StorageLevel.OFF_HEAP
+    else StorageLevel.MEMORY_AND_DISK_SER
+
   /** Seed frontier (crawler.go:109-147): parse all, abort on ANY invalid,
     * error on zero valid; seeds enqueued in argument order at depth 0 with
     * round-robin UA; the seen store is NOT pre-marked (Q4a quirk). */
@@ -244,7 +254,7 @@ object SparkCrawler {
         } else fetchJoin(scheduled)
       ).observe(fetchObs,
           sum(when(col("html").isNotNull, 1L).otherwise(0L)).as("fetched"))
-        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        .persist(bulkLevel)
 
       val hits = joined.where(col("html").isNotNull)
       var actionRan = false
@@ -311,7 +321,7 @@ object SparkCrawler {
         val w = Window.partitionBy(col("hash")).orderBy(col("parent_seq"), col("link_pos"))
         val firsts = passed.withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn")
-          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+          .persist(bulkLevel)
         firstsCache = firsts
 
         // Q4b: cross-superstep dedup — Bloom segment pre-filter (no false
