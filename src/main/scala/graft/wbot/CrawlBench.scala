@@ -61,6 +61,10 @@ object CrawlBench {
       .appName(s"wbot-crawl-bench-$cores")
     val spark = sys.env.get("SPARK_JARS").fold(builder0)(j => builder0.config("spark.jars", j))
       .config("spark.sql.shuffle.partitions", (2 * cores).toString)
+      // benchmarking on local-cluster: never trade wall-clock for locality —
+      // the pages cache is partition-pinned to executors and the default 3s
+      // locality wait serializes whole stages behind it
+      .config("spark.locality.wait", "0s")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "false"))
@@ -88,7 +92,7 @@ object CrawlBench {
       // core-sized partitions OOM the columnar cache builder at low levels)
       val parts = math.max(32, cores)
       val cfg = Schemas.CrawlConfig(maxDepth = maxDepth, partitions = parts,
-        recordStreams = false)
+        recordStreams = false, bloomMinSeen = 500000L)
       val pagesPrep = SparkCrawler.preparePages(pages, parts)
       pagesPrep.count() // materialize input outside the timed section
       val t0 = System.nanoTime()

@@ -126,6 +126,11 @@ object Schemas {
       paceWallClock: Boolean = false,
       bloomEnabled: Boolean = true,
       bloomBitsPerKey: Int = 10,
+      // Bloom prefiltering only pays once the seen set dwarfs the per-
+      // superstep segment-maintenance jobs: below this seen-set size the
+      // exact anti-join runs alone (identical results — the filter is only
+      // ever an optimization). 0 = always active (reference-faithful tests).
+      bloomMinSeen: Long = 0L,
       // seen-set Bloom distribution strategy cutover: total segment bytes at
       // or below this broadcast (transient, per-superstep); above it,
       // candidates pid-shuffle and hash-join their own segment row

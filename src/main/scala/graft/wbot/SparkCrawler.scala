@@ -181,6 +181,9 @@ object SparkCrawler {
     var d = st0.startDepth
     var stepsRun = 0
     var frontierSize = frontier.count()
+    // size of the seen set == crawled_link (every fresh candidate is marked
+    // seen; seeds are not) — gates Bloom activation without extra actions
+    var seenTotal = m("crawled_link")
     while (d <= cfg.maxDepth && frontierSize > 0 && stepsRun < cfg.maxSupersteps) {
       stepsRun += 1
       val t0 = System.nanoTime()
@@ -328,8 +331,9 @@ object SparkCrawler {
         // negatives → misses are definitely fresh), exact anti-join backstop.
         // The store picks broadcast vs pid-co-partitioned join by segment
         // volume; either way only suspects enter the anti-join shuffle.
+        val bloomActive = bloom != null && seenTotal >= cfg.bloomMinSeen
         val fresh0 =
-          if (bloom != null) {
+          if (bloomActive) {
             val marked = bloom.withMight(firsts, col("hash64"))
             val sure = marked.where(!col("__might")).drop("__might")
             val suspect = marked.where(col("__might")).drop("__might")
@@ -379,7 +383,13 @@ object SparkCrawler {
         // append to the bucketed seen table (Storage does exactly that when a
         // checkpointDir is configured).
         seenDeltas += freshCk.select(col("hash"), col("hash64"))
-        if (bloom != null) bloom.update(freshCk.select("hash64"))
+        if (bloom != null) {
+          if (seenTotal >= cfg.bloomMinSeen) bloom.update(freshCk.select("hash64"))
+          else if (seenTotal + freshCount >= cfg.bloomMinSeen)
+            bloom.update(seen.select("hash64")) // one-time catch-up over all deltas
+          // else: deferred — the early anti-joins are cheaper than segment upkeep
+        }
+        seenTotal += freshCount
         seenDelta = Some(freshCk.select(col("hash"), col("hash64")))
 
         val oldFrontier = frontier

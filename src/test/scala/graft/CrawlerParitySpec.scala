@@ -53,6 +53,14 @@ class CrawlerParitySpec extends SparkSuite {
     assertParity(tiny, tinySeeds, CrawlConfig(maxDepth = 3, partitions = 4, bloomEnabled = false))
   }
 
+  test("parity: bloom activation threshold crossed mid-crawl (catch-up build)") {
+    // threshold crossed between supersteps: early depths run the bare
+    // anti-join, the crossing superstep bulk-builds segments over ALL deltas,
+    // later depths prefilter — results identical throughout
+    assertParity(tiny, tinySeeds, CrawlConfig(maxDepth = 3, partitions = 4,
+      bloomMinSeen = 60L))
+  }
+
   test("parity: distributed bloom segments (pid-co-partitioned join path)") {
     // broadcastMaxBytes = 0 forces the 10^10-scale strategy: candidates
     // shuffle on pid and hash-join their own segment row
