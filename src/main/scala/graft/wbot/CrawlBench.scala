@@ -60,7 +60,8 @@ object CrawlBench {
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cores]"))
       .appName(s"wbot-crawl-bench-$cores")
     val spark = sys.env.get("SPARK_JARS").fold(builder0)(j => builder0.config("spark.jars", j))
-      .config("spark.sql.shuffle.partitions", (2 * cores).toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (2 * cores).toString))
       // benchmarking on local-cluster: never trade wall-clock for locality —
       // the pages cache is partition-pinned to executors and the default 3s
       // locality wait serializes whole stages behind it
