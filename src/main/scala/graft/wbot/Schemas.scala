@@ -134,7 +134,10 @@ object Schemas {
       // seen-set Bloom distribution strategy cutover: total segment bytes at
       // or below this broadcast (transient, per-superstep); above it,
       // candidates pid-shuffle and hash-join their own segment row
-      bloomBroadcastMaxBytes: Long = 64L << 20,
+      // 10^8-key measurement: 119 MB of segments still broadcast-probes 3.6x
+      // faster than the pid-cogroup (the cogroup pays a full candidate
+      // shuffle); cut over only when per-executor memory actually hurts
+      bloomBroadcastMaxBytes: Long = 256L << 20,
       checkpointDir: Option[String] = None,
       maxSupersteps: Int = Int.MaxValue, // stop after N supersteps (resume testing / ops)
       recordStreams: Boolean = true // retain order/attempts streams (parity tests, sinks)
