@@ -34,9 +34,9 @@ print(f"{statistics.median(ts):.3f}")
 PY
 }
 
-runlevel() { # cores outfile
+runlevel() { # cores outfile (pinned AWAY from cpu0 — host IRQ noise)
   local CORES=$1 F=$2
-  taskset -c 0-$((CORES-1)) java -Xmx"$MEM" $OPENS -Dspark.ui.enabled=false -cp "$CP" \
+  taskset -c 4-$((CORES+3)) java -Xmx"$MEM" $OPENS -Dspark.ui.enabled=false -cp "$CP" \
     graft.wbot.CrawlBench run "$CORES" "$F" "$NH" "$PPH" "$SKEW" "$MD" "$FMIN" "$FRAND" \
     2>/dev/null | grep -o 'cores=[0-9]* wall=[0-9.]* urls=[0-9]* rate=[0-9.]*' | head -1
 }
