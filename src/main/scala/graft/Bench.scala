@@ -21,9 +21,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: JIT + codegen + parquet footer caches (uncounted)
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => }
+    // warm-up: JIT + codegen + parquet footer caches (uncounted; same
+    // methodology as CrawlBench's untimed warm-up crawl — the queries measure
+    // steady-state engine cost, not first-call JIT)
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      val warmSpec = graft.wbot.Fixtures.SiteSpec(nHosts = 2, pagesPerHost = 6)
+      val warmPrep = graft.wbot.SparkCrawler.preparePages(
+        graft.wbot.Fixtures.pagesDf(spark, warmSpec), 4)
+      graft.wbot.SparkCrawler.runPrepared(spark, warmPrep,
+        graft.wbot.Fixtures.seeds(warmSpec),
+        graft.wbot.Schemas.CrawlConfig(maxDepth = 2, partitions = 4))
+      warmPrep.unpersist()
+    } catch { case _: Throwable => }
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -41,7 +51,7 @@ object Bench {
         fanMin = 12, fanRand = 4)
       val pages = graft.wbot.Fixtures.pagesDf(spark, spec)
       val cfg = graft.wbot.Schemas.CrawlConfig(maxDepth = 4, partitions = cpus.toInt,
-        recordStreams = false)
+        recordStreams = false, bloomMinSeen = 500000L)
       val prep = graft.wbot.SparkCrawler.preparePages(pages, cpus.toInt)
       prep.count()
       val t0 = System.nanoTime()

@@ -33,7 +33,7 @@ object SparkEntry {
       .map(p => (p.url, new java.sql.Timestamp(p.warcTsMs), p.html, p.text, p.lang))
       .toDF("url", "warc_ts", "html", "text", "lang")
     val run = SparkCrawler.run(spark, pages, Fixtures.seeds(spec),
-      Schemas.CrawlConfig(maxDepth = 2, partitions = 4))
+      Schemas.CrawlConfig(maxDepth = 2, partitions = 4, bloomMinSeen = 100000L))
     run.order.orderBy("seq").select("seq", "depth", "url", "canon", "hash")
   }
 
@@ -205,8 +205,11 @@ object SparkEntry {
       val pages = Fixtures.allPages(spec)
         .map(p => (p.url, new java.sql.Timestamp(p.warcTsMs), p.html, p.text, p.lang))
         .toDF("url", "warc_ts", "html", "text", "lang")
+      // bloomMinSeen: segment upkeep only pays past ~10^5 seen URLs — on a
+      // tiny crawl the exact anti-join runs alone (results are identical
+      // either way; the Bloom paths are pinned by CrawlerParitySpec)
       val run = SparkCrawler.run(s, pages, Fixtures.seeds(spec),
-        Schemas.CrawlConfig(maxDepth = 2, partitions = 4))
+        Schemas.CrawlConfig(maxDepth = 2, partitions = 4, bloomMinSeen = 100000L))
       run.order.orderBy("seq").select("seq", "depth", "url", "canon", "hash")
     })
   )

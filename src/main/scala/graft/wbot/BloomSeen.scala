@@ -138,12 +138,23 @@ object BloomSeen {
   final class SegmentStore(spark: SparkSession, val p: Int, val numBytes: Int,
       broadcastMaxBytes: Long) {
     private var segs: Option[DataFrame] = None // (pid, bits), localCheckpointed
+    // broadcast-mode cache: collected segments + the live Broadcast handle,
+    // refreshed on update — the per-probe collect job disappears from the
+    // superstep loop. Only populated below the broadcast cutover (small-mode);
+    // the large path never materializes segments off the executors.
+    private var segB: Option[org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]]] = None
 
     def totalBytes: Long = p.toLong * numBytes
     def segments: Option[DataFrame] = segs
 
+    /** True when probes run as a pid-cogroup (total segments past the
+      * broadcast cutover) — callers materialize multi-consumer probe output
+      * once instead of paying the cogroup per consumer. */
+    def usesCogroup: Boolean = segs.nonEmpty && totalBytes > broadcastMaxBytes
+
     /** OR fresh keys (a `hash64` column) into the store — one distributed
-      * merge + eager checkpoint, nothing collected. */
+      * merge + eager checkpoint, nothing collected (broadcast mode refreshes
+      * its collected cache here, off the probe path). */
     def update(fresh: DataFrame): Unit = {
       import spark.implicits._
       val delta = segmentsOf(spark, fresh, p, numBytes)
@@ -157,7 +168,14 @@ object BloomSeen {
             .agg(new OrAgg(numBytes).toColumn.name("bits"))
             .toDF("pid", "bits")
       }
-      segs = Some(merged.localCheckpoint(true))
+      val ck = merged.localCheckpoint(true)
+      segs = Some(ck)
+      segB = None // stale; ContextCleaner reclaims the old broadcast
+      if (totalBytes <= broadcastMaxBytes) {
+        val arr = new Array[Array[Byte]](p)
+        ck.collect().foreach(r => arr(r.getInt(0)) = r.getAs[Array[Byte]](1))
+        segB = Some(spark.sparkContext.broadcast(arr))
+      }
     }
 
     /**
@@ -169,13 +187,11 @@ object BloomSeen {
      */
     def withMight(df: DataFrame, hash64Col: Column): DataFrame = segs match {
       case None => df.withColumn("__might", lit(false))
-      case Some(s) if totalBytes <= broadcastMaxBytes =>
-        val arr = new Array[Array[Byte]](p)
-        s.collect().foreach(r => arr(r.getInt(0)) = r.getAs[Array[Byte]](1))
-        val segB = spark.sparkContext.broadcast(arr)
+      case Some(_) if totalBytes <= broadcastMaxBytes =>
+        val b = segB.getOrElse(sys.error("broadcast segment cache not populated"))
         val pp = p
         val might = udf((h64: Long) => {
-          val seg = segB.value(Math.floorMod(h64, pp.toLong).toInt)
+          val seg = b.value(Math.floorMod(h64, pp.toLong).toInt)
           seg != null && mightContain(seg, h64)
         })
         df.withColumn("__might", might(hash64Col))

@@ -54,6 +54,11 @@ object SparkCrawler {
       // downstream, and every byte here rides through the per-superstep join
       .select(col("canon"), col("hash64"), col("html"))
       .repartition(partitions, col("canon"))
+      // canon uniqueness is a store invariant (the reference holds ONE page
+      // per URL, store/in_memory.go); enforcing it here makes the regular
+      // left-join hit count and the fast-terminal semi-join count provably
+      // equivalent. Rides the repartition's clustering — no extra shuffle.
+      .dropDuplicates("canon")
       // sorted-within-buckets layout (what the bucketed+sorted Iceberg table
       // gives on a real cluster): the per-superstep sort-merge fetch join
       // then sorts ONLY the frontier side — the 10^10-row pages side is
@@ -67,6 +72,17 @@ object SparkCrawler {
           .getOption("spark.memory.offHeap.enabled").contains("true")) StorageLevel.OFF_HEAP
         else StorageLevel.MEMORY_AND_DISK_SER)
 
+
+  /** Executor for per-superstep side jobs (order-stream checkpoint, Bloom
+    * segment merge, snapshot commit): they are independent of the main
+    * superstep plan and of each other, so running them as concurrent Spark
+    * jobs collapses 3-4 sequential driver round-trips into ~max(one). Daemon
+    * threads; all futures are awaited inside the superstep that spawned them. */
+  private lazy val sideEc: scala.concurrent.ExecutionContextExecutor =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool { r =>
+        val t = new Thread(r, "wbot-sidejob"); t.setDaemon(true); t
+      })
 
   /** Storage level for the engine's bulk caches: off-heap when the session
     * has an off-heap pool (columnar bytes stay out of the GC'd heap — the
@@ -180,6 +196,14 @@ object SparkCrawler {
 
     var d = st0.startDepth
     var stepsRun = 0
+    // in-flight Bloom segment merge: runs concurrently with the order-stream
+    // checkpoint and the snapshot commit, awaited before the superstep closes
+    // (the next superstep's probe reads the store)
+    var bloomFut: scala.concurrent.Future[Unit] = null
+    def awaitBloom(): Unit = if (bloomFut != null) {
+      scala.concurrent.Await.result(bloomFut, scala.concurrent.duration.Duration.Inf)
+      bloomFut = null
+    }
     var frontierSize = frontier.count()
     // size of the seen set == crawled_link (every fresh candidate is marked
     // seen; seeds are not) — gates Bloom activation without extra actions
@@ -218,12 +242,24 @@ object SparkCrawler {
       // anyway; only strict drains need the interval span EAGERLY (to build
       // the per-interval union) and keep a real agg. frontierSize is carried
       // exactly from the previous superstep's fresh count.
+      //
+      // CACHE DISCIPLINE (the 100 TB memory bound): on the default batch path
+      // (!strictPoliteness, !recordStreams) the whole superstep is ONE plan
+      // with ONE consumer, so NOTHING per-superstep is persisted — the fetch
+      // payload (html) streams through the extract map stage and is never
+      // cached, candidates live only in spill-safe shuffle files, and the
+      // rank is a zero-action range bucket (Ranks.denseRangeRank). Caches
+      // exist only where a second consumer does: `scheduled` when the order
+      // stream or strict drains re-read it, `joined` only under strict
+      // drains (whose per-slot unions are expensive to recompute).
       val ivObs = new org.apache.spark.sql.Observation(s"iv_d${d}_s$stepsRun")
+      val cacheScheduled = cfg.strictPoliteness || cfg.recordStreams
       val scheduled0 = Politeness.assignIntervals(frontier, cfg, saltedPoliteness)
-      val scheduled = (
-        if (cfg.strictPoliteness) scheduled0
-        else scheduled0.observe(ivObs, max(col("interval")).as("max_iv"))
-      ).persist(StorageLevel.MEMORY_AND_DISK)
+      val scheduled = {
+        val s = if (cfg.strictPoliteness) scheduled0
+          else scheduled0.observe(ivObs, max(col("interval")).as("max_iv"))
+        if (cacheScheduled) s.persist(StorageLevel.MEMORY_AND_DISK) else s
+      }
       m("total_requests") += frontierSize
       val strictIntervals =
         if (cfg.strictPoliteness) {
@@ -238,7 +274,7 @@ object SparkCrawler {
       def fetchJoin(fr: DataFrame): DataFrame =
         fr.join(pagesPrep.drop("hash64"), Seq("canon"), "left")
       val fetchObs = new org.apache.spark.sql.Observation(s"fetch_d${d}_s$stepsRun")
-      val joined = (
+      val joined0 = (
         if (cfg.strictPoliteness && strictIntervals > 1) {
           // wall-clock pacing (limiter.go:52-59 semantics): slot i's fetch is
           // MATERIALIZED no earlier than i × slot-length; safe slot length =
@@ -257,31 +293,32 @@ object SparkCrawler {
         } else fetchJoin(scheduled)
       ).observe(fetchObs,
           sum(when(col("html").isNotNull, 1L).otherwise(0L)).as("fetched"))
-        .persist(bulkLevel)
+      // html payload is cached ONLY under strict drains; everywhere else it
+      // streams through its single pass (a second consumer — the order-stream
+      // checkpoint — recomputes the fetch join from the cached schedule
+      // CONCURRENTLY instead of holding frontier×html bytes in memory)
+      val joined = if (cfg.strictPoliteness) joined0.persist(bulkLevel) else joined0
 
       val hits = joined.where(col("html").isNotNull)
       var actionRan = false
-      if (cfg.recordStreams) {
-        // ONE localCheckpoint (outlives the per-superstep caches it derives
-        // from); the attempts and order streams are lazy views over it
-        val ck = joined.select(col("seq"), col("url"), col("canon"), col("hash"),
-          col("depth"), col("interval"), col("ua"), col("proxy"),
-          col("html").isNotNull.as("hit"), lit(d).as("superstep"))
-          .localCheckpoint(true)
-        attemptParts += ck.select(col("seq"), col("canon"), col("depth"), col("hit"),
-          col("superstep"))
-        orderParts += ck.where(col("hit")).select(col("seq"), col("url"), col("canon"),
-          col("hash"), col("depth"), lit(200).as("status"), col("superstep"),
-          col("interval"), col("ua"), col("proxy"))
-        actionRan = true
-      }
+      // The order-stream checkpoint runs as a CONCURRENT job: it shares the
+      // cached schedule (and the pages cache) with the main expansion plan,
+      // so the two jobs overlap instead of serializing two driver
+      // round-trips. The main thread awaits it before touching the stream
+      // buffers (no cross-thread mutation).
+      val ckFut: Option[scala.concurrent.Future[DataFrame]] =
+        if (cfg.recordStreams) {
+          actionRan = true
+          val ckDf = joined.select(col("seq"), col("url"), col("canon"), col("hash"),
+            col("depth"), col("interval"), col("ua"), col("proxy"),
+            col("html").isNotNull.as("hit"), lit(d).as("superstep"))
+          Some(scala.concurrent.Future(ckDf.localCheckpoint(true))(sideEc))
+        } else None
 
       var freshCount = 0L
       var candTotal = 0L
       var passedCount = 0L
       var seenDelta: Option[DataFrame] = None
-      var firstsCache: DataFrame = null
-      var rankCache: DataFrame = null
       if (d < cfg.maxDepth) { // Q5: expand only when depth+1 ≤ maxDepth
         // F4+F5+F1+F3: extract (on the MaxBodySize-truncated body,
         // http_client.go:117-123) → resolve → validate; drops are silent
@@ -320,12 +357,13 @@ object SparkCrawler {
             sum(when(col("pass"), 1L).otherwise(0L)).as("n_passed"))
         val passed = cands.where(col("pass"))
 
-        // Q4a: in-batch first occurrence — discovery order (parent_seq, link_pos)
+        // Q4a: in-batch first occurrence — discovery order (parent_seq, link_pos).
+        // NOT persisted: the two Bloom legs below read it through the window's
+        // shuffle, which Catalyst reuses (one shuffle write, two sorted reads)
+        // — spill-safe at any candidate volume, unlike a 26.8M-row cache.
         val w = Window.partitionBy(col("hash")).orderBy(col("parent_seq"), col("link_pos"))
         val firsts = passed.withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn")
-          .persist(bulkLevel)
-        firstsCache = firsts
 
         // Q4b: cross-superstep dedup — Bloom segment pre-filter (no false
         // negatives → misses are definitely fresh), exact anti-join backstop.
@@ -334,40 +372,43 @@ object SparkCrawler {
         val bloomActive = bloom != null && seenTotal >= cfg.bloomMinSeen
         val fresh0 =
           if (bloomActive) {
-            val marked = bloom.withMight(firsts, col("hash64"))
+            // broadcast probe: a codegen'd map over the reused window shuffle
+            // — running it once per leg is cheaper than materializing the
+            // candidate set. Cogroup probe (the 10^10 path): its own shuffle +
+            // per-group segment decode — materialize ONCE so the two legs
+            // don't pay the probe twice (one extra job, amortized at the
+            // volumes that select this path).
+            val marked0 = bloom.withMight(firsts, col("hash64"))
+            val marked = if (bloom.usesCogroup) marked0.localCheckpoint(true) else marked0
             val sure = marked.where(!col("__might")).drop("__might")
             val suspect = marked.where(col("__might")).drop("__might")
               .join(seen.select("hash"), Seq("hash"), "left_anti")
             sure.unionByName(suspect)
           } else firsts.join(seen.select("hash"), Seq("hash"), "left_anti")
 
-        // O1: reify FIFO order. Small frontiers (the early supersteps) rank
-        // through one partition directly — two fewer scheduling round-trips
-        // (no range-sampling pass, no offsets collect) on data where a single
-        // task beats the job overhead; large frontiers use the scalable
-        // range-partitioned rank (no single-partition window at scale).
-        val smallFrontier = frontierSize <= 20000
-        val ranked =
-          if (smallFrontier)
-            fresh0.withColumn("__rank",
-              row_number().over(Window.orderBy(col("parent_seq"), col("link_pos"))).cast("long"))
-          else {
-            val rank = Ranks.globalRankWithCount(fresh0, Seq(col("parent_seq"), col("link_pos")),
-              "__rank", cfg.partitions)
-            rankCache = rank.cached
-            freshCount = rank.total
-            rank.df
-          }
-        val fresh = ranked
+        // O1: reify FIFO order — ONE action for the whole superstep. Parent
+        // seqs are dense in [seqBase − frontierSize, seqBase) by construction,
+        // so the rank needs no sampling pass (Ranks.denseRangeRank): the whole
+        // dataflow up to here — schedule → fetch join → extract → filters →
+        // first-occurrence → Bloom/anti-join — executes ONCE into one
+        // spill-safe, lineage-cut bucket store (the superstep's only
+        // candidate-sized state), and the per-bucket counts cross the driver
+        // as ≤ 8·P longs, giving the fresh count for free. The next frontier
+        // and the seen delta are LAZY views over those blocks: the rank window
+        // re-sorts the (materialized, bucketed) blocks on each downstream
+        // scan instead of paying a second materialization job per superstep,
+        // and the seen delta is a plain projection (no window at all).
+        val rank = Ranks.denseRangeRank(fresh0, col("parent_seq"),
+          seqBase - frontierSize, seqBase, Seq(col("link_pos")), "__rank", cfg.partitions)
+        freshCount = rank.total
+        val fresh = rank.df
           .withColumn("seq", col("__rank") - 1 + lit(seqBase))
           .withColumn("depth", lit(d + 1))
           .withColumn("score", scoreCol(cfg))
           .select(col("url"), col("canon"), col("hash"), col("hash64"),
             col("host"), col("root"), col("depth"), col("score"), col("seq"),
             col("ua"), col("proxy"))
-        val freshCk = fresh.localCheckpoint(true) // materialize once
-        actionRan = true // the checkpoint (and rank pass, when used) ran jobs
-        if (smallFrontier) freshCount = freshCk.count() // local scan of checkpointed blocks
+        actionRan = true
         val candStats = candObs.get // filled by this superstep's jobs
         candTotal = candStats("n_cands").asInstanceOf[Long]
         passedCount = Option(candStats("n_passed")).fold(0L)(_.asInstanceOf[Long])
@@ -377,28 +418,45 @@ object SparkCrawler {
         m("crawled_link") += freshCount
         seqBase += freshCount
 
-        // the seen set is a LIST of already-materialized deltas (each is a
-        // localCheckpointed frontier) — appending costs nothing per superstep;
-        // the anti-join scans the union lazily. On a real cluster this is an
-        // append to the bucketed seen table (Storage does exactly that when a
-        // checkpointDir is configured).
-        seenDeltas += freshCk.select(col("hash"), col("hash64"))
+        // the seen set is a LIST of already-materialized deltas (projections
+        // of each superstep's checkpointed bucket blocks) — appending costs
+        // nothing per superstep; the anti-join scans the union lazily. On a
+        // real cluster this is an append to the bucketed seen table (Storage
+        // does exactly that when a checkpointDir is configured).
+        seenDeltas += rank.cached.select(col("hash"), col("hash64"))
         if (bloom != null) {
-          if (seenTotal >= cfg.bloomMinSeen) bloom.update(freshCk.select("hash64"))
-          else if (seenTotal + freshCount >= cfg.bloomMinSeen)
-            bloom.update(seen.select("hash64")) // one-time catch-up over all deltas
+          // segment merge is independent of the order-stream checkpoint and
+          // the snapshot commit — run it concurrently, await before the next
+          // superstep's probe needs the store
+          if (seenTotal >= cfg.bloomMinSeen)
+            bloomFut = scala.concurrent.Future(
+              bloom.update(rank.cached.select("hash64")))(sideEc)
+          else if (seenTotal + freshCount >= cfg.bloomMinSeen) {
+            val allSeen = seen // one-time catch-up over all deltas
+            bloomFut = scala.concurrent.Future(bloom.update(allSeen.select("hash64")))(sideEc)
+          }
           // else: deferred — the early anti-joins are cheaper than segment upkeep
         }
         seenTotal += freshCount
-        seenDelta = Some(freshCk.select(col("hash"), col("hash64")))
+        seenDelta = Some(rank.cached.select(col("hash"), col("hash64")))
 
         val oldFrontier = frontier
-        frontier = freshCk
+        frontier = fresh
         oldFrontier.unpersist()
       } else {
         val oldFrontier = frontier
         frontier = spark.emptyDataset[FrontierRow].toDF
         oldFrontier.unpersist()
+      }
+      // harvest the concurrent order-stream checkpoint (main thread owns the
+      // stream buffers)
+      ckFut.foreach { f =>
+        val ck = scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+        attemptParts += ck.select(col("seq"), col("canon"), col("depth"), col("hit"),
+          col("superstep"))
+        orderParts += ck.where(col("hit")).select(col("seq"), col("url"), col("canon"),
+          col("hash"), col("depth"), lit(200).as("status"), col("superstep"),
+          col("interval"), col("ua"), col("proxy"))
       }
       if (!actionRan) joined.count() // ensure the fetch observation fired
       val fetched = Option(fetchObs.get("fetched")).fold(0L)(_.asInstanceOf[Long])
@@ -410,20 +468,25 @@ object SparkCrawler {
         else Option(ivObs.get("max_iv")).fold(0)(_.asInstanceOf[Int] + 1)
 
       // atomic superstep commit: frontier, seen delta, crawled delta,
-      // attempts delta, metrics, seq watermark
-      storage.foreach { s =>
-        s.commitStep(d, frontier, seenDelta,
-          orderParts.lastOption.getOrElse(emptyOrder(spark)),
-          attemptParts.lastOption.getOrElse(emptyAttempts(spark)), m.toMap, seqBase)
+      // attempts delta, metrics, seq watermark — overlaps the Bloom merge,
+      // awaited before the superstep closes (the next superstep unpersists
+      // the previous frontier this commit reads)
+      val commitFut = storage.map { s =>
+        val fr = frontier; val sd = seenDelta
+        val od = orderParts.lastOption.getOrElse(emptyOrder(spark))
+        val at = attemptParts.lastOption.getOrElse(emptyAttempts(spark))
+        val mSnap = m.toMap; val sb = seqBase
+        scala.concurrent.Future(s.commitStep(d, fr, sd, od, at, mSnap, sb))(sideEc)
       }
+      commitFut.foreach(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      awaitBloom()
 
       val wallMs = (System.nanoTime() - t0) / 1000000L
       steps += StepStat(d, frontierSize, fetched, failed, candTotal, passedCount, freshCount,
         nIntervals, wallMs)
-      scheduled.unpersist()
-      joined.unpersist()
-      if (firstsCache != null) firstsCache.unpersist()
-      if (rankCache != null) rankCache.unpersist()
+      if (cacheScheduled) scheduled.unpersist()
+      if (cfg.strictPoliteness) joined.unpersist()
 
       frontierSize = if (d < cfg.maxDepth) freshCount else 0L
       d += 1

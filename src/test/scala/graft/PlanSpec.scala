@@ -81,6 +81,26 @@ class PlanSpec extends SparkSuite {
     assert(ranked.orderBy("rnk").select("k").as[Long].collect().toSeq == (1L to 100L))
   }
 
+  test("denseRangeRank: sampling-free, no single-partition window, exact order") {
+    // the crawl-loop rank: leading key's range is known → no sampling pass,
+    // no global window (the round-2 small-frontier single-partition shortcut
+    // is GONE — every volume takes the bucketed path)
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i.toLong % 500, i.toLong, s"v$i"))
+      .toDF("seqk", "tie", "v")
+    val rank = graft.wbot.Ranks.denseRangeRank(df, col("seqk"), 0L, 500L,
+      Seq(col("tie")), "rnk", 4)
+    assert(rank.total == 5000L)
+    val got = rank.df.orderBy("rnk").select("seqk", "tie").as[(Long, Long)].collect().toSeq
+    assert(got == (1 to 5000).map(i => (i.toLong % 500, i.toLong)).sorted)
+    val plan = planOf(rank.df)
+    assert(!plan.contains("UDF"), s"offset lookup fell back to a scala UDF:\n$plan")
+    // partitioned window only (WindowExec would move all rows to one task if
+    // the partition spec were empty)
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"rank window must partition by the range bucket:\n$plan")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
