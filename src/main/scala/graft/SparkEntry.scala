@@ -160,10 +160,10 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
-    "q26_lsh_ann" -> ((s, d) => { // md5 hyperplanes → DuckDB-checkable
+    "q26_lsh_ann" -> ((s, d) => { // multi-band md5 hyperplanes → DuckDB-checkable
       val emb = t(s, d, "embeddings")
       Similarity.lshBucketTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
-        k = 3, bits = 8, dims = 64)
+        k = 3, bands = 6, bitsPerBand = 4, dims = 64)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -211,6 +211,54 @@ object SparkEntry {
       val run = SparkCrawler.run(s, pages, Fixtures.seeds(spec),
         Schemas.CrawlConfig(maxDepth = 2, partitions = 4, bloomMinSeen = 100000L))
       run.order.orderBy("seq").select("seq", "depth", "url", "canon", "hash")
+    }),
+
+    // ---- one full crawl superstep, SQL-oracle-checked (closes q24's
+    // no_oracle gap): the UDF pipeline (extract → resolve → validate) is
+    // reified as a deterministic parquet MANIFEST (pinned by goldens), and
+    // the whole remaining superstep dataflow — fetch-join → explode →
+    // Q1/Q3 filters → first-occurrence → seen anti-join → dense-range rank
+    // (the engine's exact construction) — runs in pure column ops with a
+    // line-for-line DuckDB twin over the same parquet bytes. ----
+    "q30_crawl_step_sql" -> ((s, _) => {
+      import s.implicits._
+      val spec = Fixtures.SiteSpec(nHosts = 5, pagesPerHost = 30)
+      val seqBase = spec.totalPages.toLong
+      val dir = "/tmp/graft_q30"
+      val frontierRows = Fixtures.allPages(spec).zipWithIndex.map { case (p, i) =>
+        val pr = graft.wbot.UrlFuncs.newUrl(p.url)
+          .fold(e => sys.error(s"fixture url invalid: $e"), identity)
+        (i.toLong, pr.urlStr, pr.canon, pr.hash, pr.host, pr.root)
+      }
+      frontierRows.toDF("seq", "url", "canon", "hash", "host", "root")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/frontier")
+      Fixtures.linkManifest(spec)
+        .toDF("parent_canon", "link_pos", "url", "canon", "hash", "host", "root", "path")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+      // read back: BOTH engines consume the identical parquet bytes
+      val f = s.read.parquet(s"$dir/frontier")
+      val m = s.read.parquet(s"$dir/manifest")
+      val cand = f.select(col("seq").as("parent_seq"), col("canon").as("pcanon"),
+          col("root").as("parent_root"))
+        .join(m.withColumnRenamed("parent_canon", "pcanon"), Seq("pcanon")) // fetch + extract
+      val passed = cand.where(col("host").contains(col("parent_root")) && // Q1
+        !col("path").rlike(Schemas.badExtRegex)) // Q3
+      val wFirst = Window.partitionBy(col("hash")).orderBy(col("parent_seq"), col("link_pos"))
+      val firsts = passed.withColumn("rn", row_number().over(wFirst)).where(col("rn") === 1) // Q4a
+      val fresh = firsts.join(f.select(col("hash")), Seq("hash"), "left_anti") // Q4b
+      // O1: the engine's dense-range rank (bucket + cumulative offsets)
+      val wp = fresh.withColumn("pid",
+        floor(col("parent_seq") * 32 / lit(seqBase)).cast("int"))
+      val off = wp.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+        .withColumn("o", coalesce(sum(col("c")).over(
+          Window.partitionBy(pmod(col("pid"), lit(1))).orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("pid"), col("o"))
+      val wRank = Window.partitionBy(col("pid")).orderBy(col("parent_seq"), col("link_pos"))
+      wp.withColumn("rr", row_number().over(wRank).cast("long"))
+        .join(broadcast(off), Seq("pid"))
+        .select((col("rr") - 1 + col("o") + lit(seqBase)).as("seq"),
+          col("url"), col("canon"), col("hash"))
     })
   )
 
@@ -255,26 +303,33 @@ object SparkEntry {
        |GROUP BY p.id_a, p.id_b HAVING sum(qa.qx * qb.qx) >= 600000""".stripMargin
   }
 
-  /** q26 oracle: the LSH ANN path — 8 md5 hyperplanes, bucket join, top-k. */
+  /** q26 oracle: the multi-band LSH ANN path — 6 bands × 4 md5 hyperplanes,
+    * candidates = DISTINCT pairs sharing any band bucket, ranked once. */
   private def q26Oracle: String = {
-    val bits = 8
-    val dotCols = (0 until bits).map(p => s"SUM(${signCase(p)}) AS dot$p").mkString(", ")
-    val keyExpr = (0 until bits).map(p =>
-      s"(CASE WHEN dot$p > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+    val bands = 6; val w = 4
+    val dotCols = (0 until bands * w).map(p => s"SUM(${signCase(p)}) AS dot$p").mkString(", ")
+    val keyCols = (0 until bands).map { b =>
+      val terms = (0 until w).map(j =>
+        s"(CASE WHEN dot${b * w + j} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"($terms) AS key$b"
+    }.mkString(", ")
+    val bandUnion = (0 until bands)
+      .map(b => s"SELECT vec_id AS id, $b AS band, key$b AS bucket FROM keys")
+      .mkString(" UNION ALL ")
     s"""WITH q AS (SELECT vec_id, i - 1 AS i0, CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qx
        |           FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
        |                 FROM embeddings)),
        |dots AS (SELECT vec_id, $dotCols FROM q GROUP BY vec_id),
-       |keys AS (SELECT vec_id, ($keyExpr) AS lsh_key FROM dots),
-       |scored AS (
-       |  SELECT kq.vec_id AS query_id, kc.vec_id AS nbr_id,
-       |         CAST(sum(vq.qx * vc.qx) AS BIGINT) AS qdot
-       |  FROM keys kq
-       |  JOIN keys kc ON kc.lsh_key = kq.lsh_key AND kc.vec_id <> kq.vec_id
-       |  JOIN q vq ON vq.vec_id = kq.vec_id
-       |  JOIN q vc ON vc.vec_id = kc.vec_id AND vc.i0 = vq.i0
-       |  WHERE kq.vec_id < 5
-       |  GROUP BY kq.vec_id, kc.vec_id)
+       |keys AS (SELECT vec_id, $keyCols FROM dots),
+       |bands AS ($bandUnion),
+       |pairs AS (SELECT DISTINCT bq.id AS query_id, bc.id AS nbr_id
+       |          FROM bands bq JOIN bands bc ON bc.band = bq.band AND bc.bucket = bq.bucket
+       |          WHERE bq.id < 5 AND bc.id <> bq.id),
+       |scored AS (SELECT p.query_id, p.nbr_id, CAST(sum(vq.qx * vc.qx) AS BIGINT) AS qdot
+       |           FROM pairs p
+       |           JOIN q vq ON vq.vec_id = p.query_id
+       |           JOIN q vc ON vc.vec_id = p.nbr_id AND vc.i0 = vq.i0
+       |           GROUP BY p.query_id, p.nbr_id)
        |SELECT query_id, nbr_id, qdot, CAST(rank AS BIGINT) AS rank FROM (
        |  SELECT query_id, nbr_id, qdot,
        |         row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, nbr_id) AS rank
@@ -300,7 +355,37 @@ object SparkEntry {
        |SELECT id, $nibbles AS simhash_hex FROM votes""".stripMargin
   }
 
+  /** q30 oracle: the crawl superstep, line for line, over the same manifest
+    * and frontier parquet the Spark side wrote (absolute /tmp paths — the
+    * Verify run that dumps oracle_sql.json writes them first). */
+  private def q30Oracle: String = {
+    val n = Fixtures.SiteSpec(nHosts = 5, pagesPerHost = 30).totalPages
+    s"""WITH f AS (SELECT * FROM read_parquet('/tmp/graft_q30/frontier/*.parquet')),
+       |m AS (SELECT * FROM read_parquet('/tmp/graft_q30/manifest/*.parquet')),
+       |cand AS (SELECT f.seq AS parent_seq, f.root AS parent_root,
+       |                m.link_pos, m.url, m.canon, m.hash, m.host, m.root, m.path
+       |         FROM f JOIN m ON m.parent_canon = f.canon),
+       |passed AS (SELECT * FROM cand
+       |           WHERE contains(host, parent_root)
+       |             AND NOT regexp_matches(path, '${Schemas.badExtRegex}')),
+       |firsts AS (SELECT * FROM (
+       |             SELECT *, row_number() OVER (PARTITION BY hash
+       |                         ORDER BY parent_seq, link_pos) AS rn
+       |             FROM passed) WHERE rn = 1),
+       |fresh AS (SELECT firsts.* FROM firsts
+       |          WHERE NOT EXISTS (SELECT 1 FROM f WHERE f.hash = firsts.hash)),
+       |wp AS (SELECT *, CAST(floor(parent_seq * 32 / $n) AS INTEGER) AS pid FROM fresh),
+       |off AS (SELECT pid, coalesce(sum(c) OVER (PARTITION BY pid % 1 ORDER BY pid
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+       |        FROM (SELECT pid, count(*) AS c FROM wp GROUP BY pid)),
+       |r AS (SELECT wp.*, row_number() OVER (PARTITION BY pid
+       |                     ORDER BY parent_seq, link_pos) AS rr FROM wp)
+       |SELECT CAST(r.rr - 1 + off.o + $n AS BIGINT) AS seq, r.url, r.canon, r.hash
+       |FROM r JOIN off ON off.pid = r.pid""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q30_crawl_step_sql" -> q30Oracle,
     "q17_embed_neardup" -> q17Oracle,
     "q25_simhash" -> q25Oracle,
     "q26_lsh_ann" -> q26Oracle,

@@ -65,11 +65,16 @@ object Dedup {
    */
   def minhashBandPairs(sigs: DataFrame, idCol: String, numHashes: Int, bandSize: Int,
       maxBucketSize: Option[Int] = None): DataFrame = {
-    val bands = (0 until numHashes / bandSize).map { b =>
+    // all bands in ONE projection + explode (like Similarity.withBandKeys):
+    // a single pass over the signature table instead of one union leg — and
+    // one upstream signature computation — per band
+    val bandCols = (0 until numHashes / bandSize).map { b =>
       val cols = (b * bandSize until (b + 1) * bandSize).map(i => col(s"sig_$i"))
-      sigs.select(col(idCol).as("id"),
-        lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
+    }
+    val bands = sigs
+      .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("__bk"))
+      .select(col("id"), col("__bk.band").as("band"), col("__bk.bucket").as("bucket"))
     bandedPairs(bands, maxBucketSize)
   }
 

@@ -43,12 +43,20 @@ object Similarity {
   def quantized(vecCol: String): Column =
     expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1000) as bigint))")
 
+  /** As [[quantized]] but errors on a length mismatch instead of letting
+    * `zip_with`'s null padding silently misbucket the vector: a wrong `dims`
+    * (or a ragged embedding column) must fail loudly, not land in bucket 0. */
+  def quantizedChecked(vecCol: String, dims: Int): Column =
+    when(size(col(vecCol)) === dims, quantized(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"embedding length != dims=$dims: got "), size(col(vecCol)).cast("string"))))
+
   private def signedDot(qv: Column, signs: Array[Long]): Column =
     aggregate(zip_with(qv, typedlit(signs), (q, s) => q * s), lit(0L), (acc, x) => acc + x)
 
   /** b-bit sign-random-projection bucket key (planes 0..bits-1). */
   def withLshKey(df: DataFrame, vecCol: String, bits: Int, dims: Int): DataFrame = {
-    val withQ = df.withColumn("__qv", quantized(vecCol))
+    val withQ = df.withColumn("__qv", quantizedChecked(vecCol, dims))
     val bitCols = (0 until bits).map { p =>
       when(signedDot(col("__qv"), planeSigns(p, dims)) > 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -61,7 +69,7 @@ object Similarity {
     * shares ANY band's bucket (OR-amplification, as in MinHash banding). */
   def withBandKeys(df: DataFrame, idCol: String, vecCol: String,
       bands: Int, bitsPerBand: Int, dims: Int): DataFrame = {
-    val withQ = df.withColumn("__qv", quantized(vecCol))
+    val withQ = df.withColumn("__qv", quantizedChecked(vecCol, dims))
     val bandCols = (0 until bands).map { b =>
       val key = (0 until bitsPerBand).map { j =>
         when(signedDot(col("__qv"), planeSigns(b * bitsPerBand + j, dims)) > 0,
@@ -88,16 +96,30 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** ANN via LSH buckets: join query buckets to corpus buckets, rank within.
-    * Recall < 1 by construction; `bits` trades bucket size vs recall. */
+  /** ANN via multi-band LSH (OR-amplification, same banding as the near-dup
+    * path): a corpus vector is a candidate for a query iff they share ANY of
+    * `bands` independent `bitsPerBand`-bit sign-projection buckets —
+    * candidates are unioned across bands (distinct pairs) and ranked ONCE by
+    * exact quantized dot. A single-table b-bit key (the round-2 shape, recall
+    * ~0.4 on planted NNs) keeps missing true neighbors that land one bit off
+    * in the one bucket; with 6×4-bit bands a planted near-dup (cos ≈ 0.875)
+    * matches some band w.p. ≈ 0.98 — the recall floor test pins ≥ 0.9.
+    *
+    * Scale shape: corpus band keys stream (one pass, exploded); query bands
+    * broadcast; only bucket-colliding pairs are scored, and vectors are
+    * joined back only for candidates. */
   def lshBucketTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int, dims: Int): DataFrame = {
-    val c = withLshKey(corpus, vecCol, bits, dims)
-      .select(col(idCol).as("nbr_id"), col(vecCol).as("nvec"), col("lsh_key"))
-    val q = withLshKey(queries, vecCol, bits, dims)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"), col("lsh_key"))
-    val scored = c.join(broadcast(q), Seq("lsh_key"))
+      vecCol: String, k: Int, bands: Int, bitsPerBand: Int, dims: Int): DataFrame = {
+    val cb = withBandKeys(corpus, idCol, vecCol, bands, bitsPerBand, dims)
+      .select(col(idCol).as("nbr_id"), col("band"), col("bucket"))
+    val qb = withBandKeys(queries, idCol, vecCol, bands, bitsPerBand, dims)
+      .select(col(idCol).as("query_id"), col("band"), col("bucket"))
+    val pairs = cb.join(broadcast(qb), Seq("band", "bucket"))
       .where(col("nbr_id") =!= col("query_id"))
+      .select(col("query_id"), col("nbr_id")).distinct() // union across bands
+    val cv = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nvec"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = pairs.join(cv, Seq("nbr_id")).join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("nbr_id"),
         Dedup.quantizedDot(col("qvec"), col("nvec")).as("qdot"))
     val w = Window.partitionBy(col("query_id"))

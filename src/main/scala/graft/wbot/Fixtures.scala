@@ -164,6 +164,24 @@ object Fixtures {
       parsed.canon -> Oracle.Page(p.url, p.html, p.text)
     }.toMap
 
+  /** One resolved-candidate row per surviving link of every page: the
+    * extract → resolve → validate UDF pipeline (pinned by the HtmlSpec /
+    * UrlFuncs golden vectors) reified as DATA, so a full crawl superstep
+    * minus the UDFs — fetch-join → explode → Q1/Q3 → first-occurrence →
+    * anti-join → rank — can be expressed in pure ANSI SQL over it and
+    * DuckDB-checked (SparkEntry q30). Columns:
+    * (parent_canon, link_pos, url, canon, hash, host, root, path). */
+  def linkManifest(spec: SiteSpec): Vector[(String, Int, String, String, String, String, String, String)] =
+    allPages(spec).flatMap { p =>
+      val parsed = UrlFuncs.newUrl(p.url)
+        .fold(e => sys.error(s"fixture url invalid: ${p.url}: $e"), identity)
+      Html.findLinksBytes(p.html, Schemas.defaultMaxBodySize).zipWithIndex.flatMap {
+        case (href, pos) =>
+          UrlFuncs.candidate(parsed.url, href).map(c =>
+            (parsed.canon, pos, c.urlStr, c.canon, c.hash, c.host, c.root, c.url.path))
+      }
+    }
+
   /** Default seeds: host0 index via its www alias (www-strip at seed level) +
     * host1 index. */
   def seeds(spec: SiteSpec): Seq[String] = {

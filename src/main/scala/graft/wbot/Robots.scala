@@ -61,7 +61,17 @@ object Robots {
   /** Fetch + parse robots.txt for every registrable host present in the
     * pages snapshot (one join against the snapshot, parse distributed, rules
     * collected — the table is hosts-sized, i.e. broadcast-small). */
-  def rulesFromPages(spark: SparkSession, pages: DataFrame): Seq[Schemas.RobotsRule] = {
+  def rulesFromPages(spark: SparkSession, pages: DataFrame): Seq[Schemas.RobotsRule] =
+    rulesFromPages(spark, pages, None)
+
+  /** As above, but when the caller already holds the [[SparkCrawler
+    * .preparePages]] output (canon-keyed, cached), the robots-body side reads
+    * its precomputed canon instead of re-running the URL parser over the full
+    * snapshot — at 10^10 rows that second UDF pass is the whole cost of the
+    * bootstrap. The hosts dimension (with the original host[:port] spelling,
+    * which the rule table is keyed by) still needs the raw urls once. */
+  def rulesFromPages(spark: SparkSession, pages: DataFrame,
+      pagesPrep: Option[DataFrame]): Seq[Schemas.RobotsRule] = {
     import spark.implicits._
     val parseRules = udf((host: String, body: Array[Byte]) =>
       if (body == null) Seq.empty[Schemas.RobotsRule]
@@ -74,9 +84,12 @@ object Robots {
       .withColumn("robots_url", concat(lit("http://"), col("host"), lit("/robots.txt")))
       .withColumn("canon", Udfs.canonicalize(col("robots_url")))
       .where(col("canon").isNotNull)
-    val robotsPages = pages
-      .withColumn("pcanon", Udfs.canonicalize(col("url")))
-      .select(col("pcanon").as("canon"), col("html"))
+    val robotsPages = pagesPrep match {
+      case Some(prep) => prep.select(col("canon"), col("html")) // cached, canon precomputed
+      case None => pages
+        .withColumn("pcanon", Udfs.canonicalize(col("url")))
+        .select(col("pcanon").as("canon"), col("html"))
+    }
     hosts.join(robotsPages, Seq("canon"))
       .select(explode(parseRules(col("host"), col("html"))).as("r"))
       .select(col("r.host"), col("r.agent"), col("r.allow"), col("r.pattern"))

@@ -149,6 +149,15 @@ object Schemas {
       if (proxies.isEmpty) "" else proxies(seedIdx % proxies.length)
   }
 
+  /** Compiled-pattern cache for the filter-rule engine: the rule table is
+    * config-sized but its patterns run per CANDIDATE — compiling per row
+    * (what the reference does implicitly via regexp.MatchString,
+    * `filter.go:44-54`) would dominate the candidate hot path. Same pattern
+    * as [[RobotsMatch]]. */
+  private val filterRx = new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]
+  private def filterPattern(p: String): java.util.regex.Pattern =
+    filterRx.computeIfAbsent(p, java.util.regex.Pattern.compile(_))
+
   /** `filter.allow` (`/root/reference/filter.go:30-57`), shared by the Oracle
     * and the Spark predicate builder: bad-extension check on the decoded
     * path; then host rule (exact root, else "*", else allow); with a rule:
@@ -160,8 +169,8 @@ object Schemas {
       case None    => return true
       case Some(r) => r
     }
-    if (rule.disallow.exists(p => java.util.regex.Pattern.compile(p).matcher(urlStr).find())) return false
-    rule.allow.exists(p => java.util.regex.Pattern.compile(p).matcher(urlStr).find())
+    if (rule.disallow.exists(p => filterPattern(p).matcher(urlStr).find())) return false
+    rule.allow.exists(p => filterPattern(p).matcher(urlStr).find())
   }
 
   /** Standard robots gate per RFC 9309: pick the MOST SPECIFIC matching

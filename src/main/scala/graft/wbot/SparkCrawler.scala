@@ -271,8 +271,19 @@ object SparkCrawler {
       // strictPoliteness physically drains one rate interval at a time
       // (schedule-faithful); default joins the whole depth at once (the
       // interval column still records the schedule).
+      //
+      // BROADCAST GUARD: AQE converts these joins to broadcast from
+      // COMPRESSED shuffle sizes, and hash-hex / url columns compress 3-4× —
+      // a "10 MB" frontier or seen shuffle decompresses into a multi-hundred-
+      // MB UnsafeHashedRelation on executors already holding the pages cache
+      // (measured: deep-run executor death in exactly that allocation). The
+      // loop tracks both row counts EXACTLY, so past a bound the join is
+      // pinned to sort-merge (spills end to end); below it broadcast remains
+      // profitable and allowed.
+      val frontierBroadcastable = frontierSize <= 200000L
       def fetchJoin(fr: DataFrame): DataFrame =
-        fr.join(pagesPrep.drop("hash64"), Seq("canon"), "left")
+        (if (frontierBroadcastable) fr else fr.hint("merge"))
+          .join(pagesPrep.drop("hash64"), Seq("canon"), "left")
       val fetchObs = new org.apache.spark.sql.Observation(s"fetch_d${d}_s$stepsRun")
       val joined0 = (
         if (cfg.strictPoliteness && strictIntervals > 1) {
@@ -370,6 +381,12 @@ object SparkCrawler {
         // The store picks broadcast vs pid-co-partitioned join by segment
         // volume; either way only suspects enter the anti-join shuffle.
         val bloomActive = bloom != null && seenTotal >= cfg.bloomMinSeen
+        // same broadcast guard as the fetch join: seenTotal is exact driver
+        // state, so pin the anti-join to sort-merge once the seen side would
+        // decompress into an executor-killing hashed relation
+        val seenHinted =
+          if (seenTotal <= 200000L) seen.select("hash")
+          else seen.select("hash").hint("merge")
         val fresh0 =
           if (bloomActive) {
             // broadcast probe: a codegen'd map over the reused window shuffle
@@ -382,9 +399,9 @@ object SparkCrawler {
             val marked = if (bloom.usesCogroup) marked0.localCheckpoint(true) else marked0
             val sure = marked.where(!col("__might")).drop("__might")
             val suspect = marked.where(col("__might")).drop("__might")
-              .join(seen.select("hash"), Seq("hash"), "left_anti")
+              .join(seenHinted, Seq("hash"), "left_anti")
             sure.unionByName(suspect)
-          } else firsts.join(seen.select("hash"), Seq("hash"), "left_anti")
+          } else firsts.join(seenHinted, Seq("hash"), "left_anti")
 
         // O1: reify FIFO order — ONE action for the whole superstep. Parent
         // seqs are dense in [seqBase − frontierSize, seqBase) by construction,

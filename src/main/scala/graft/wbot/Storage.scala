@@ -73,8 +73,14 @@ final class Storage(dir: String) {
       props.getProperty("seq_base").toLong, metrics))
   }
 
-  def readFrontier(spark: SparkSession, d: Int): DataFrame =
-    spark.read.parquet(s"${stepDir(d)}/frontier")
+  /** Frontier snapshot, with forward migration: snapshots written before the
+    * O2 `score` column existed resume as pure FIFO (score = 0) instead of
+    * failing Politeness' drain-order resolution with an AnalysisException. */
+  def readFrontier(spark: SparkSession, d: Int): DataFrame = {
+    val df = spark.read.parquet(s"${stepDir(d)}/frontier")
+    if (df.columns.contains("score")) df
+    else df.withColumn("score", org.apache.spark.sql.functions.lit(0L))
+  }
 
   /** Full seen set as of step d = union of committed deltas (bucket appends
     * on a real cluster). */
