@@ -60,21 +60,41 @@ object CrawlBench {
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cores]"))
       .appName(s"wbot-crawl-bench-$cores")
     val spark = sys.env.get("SPARK_JARS").fold(builder0)(j => builder0.config("spark.jars", j))
+      // shuffle width is data-sized too (the depth-4 superstep shuffles ~27M
+      // candidate rows; 2·cores partitions would sort ~7M rows per task) —
+      // AQE coalescing merges the resulting small reads on shallow depths
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (2 * cores).toString))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          math.max(2 * cores, spec.totalRows / 25000).toString))
       // benchmarking on local-cluster: never trade wall-clock for locality —
       // the pages cache is partition-pinned to executors and the default 3s
       // locality wait serializes whole stages behind it
       .config("spark.locality.wait", "0s")
       .config("spark.sql.adaptive.enabled", "true")
+      // coalescing ON by default since partition counts are DATA-sized below
+      // (memory safety at deep frontiers); AQE then merges the many tiny
+      // shuffle reads of the shallow supersteps so the per-superstep floor
+      // doesn't pay 100+ task launches on 2 cores. Same config at every
+      // level — the adaptive plan stays a pure function of the (identical)
+      // data.
       .config("spark.sql.adaptive.coalescePartitions.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "true"))
       .config("spark.memory.offHeap.enabled", "true")
       .config("spark.memory.offHeap.size", sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "24g"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_PLAN_DEBUG").contains("1"))
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit = ()
+        override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = {
+          println(s"[plan-debug] FAILED action=$f: ${e.getMessage}")
+          println(qe.executedPlan.toString.take(20000))
+        }
+      })
     val profiler =
       if (sys.env.get("SPARK_GRAFT_STAGE_PROFILE").contains("1")) {
         val p = new StageProfiler; spark.sparkContext.addSparkListener(p); Some(p)
@@ -89,9 +109,13 @@ object CrawlBench {
 
       val pages = Fixtures.pagesDf(spark, spec)
       // partition count is DATA-sized, not core-sized (identical logical job
-      // at every parallelism level; ~125k pages/partition at the 4M spec —
-      // core-sized partitions OOM the columnar cache builder at low levels)
-      val parts = math.max(32, cores)
+      // at every parallelism level). ~25k pages/partition caps a serialized
+      // cache block at ~40 MB: at deep frontiers the working set (pages +
+      // accumulated seen deltas) exceeds the off-heap pool, blocks bounce
+      // via disk, and each bounce re-allocates a WHOLE block on heap — 32
+      // partitions of a 4M-page table made those 190 MB apiece (measured
+      // executor heap OOM in BlockManager.maybeCacheDiskBytesInMemory).
+      val parts = math.max(math.max(32, cores), spec.totalRows / 25000)
       val cfg = Schemas.CrawlConfig(maxDepth = maxDepth, partitions = parts,
         recordStreams = false, bloomMinSeen = 500000L)
       val pagesPrep = SparkCrawler.preparePages(pages, parts)

@@ -53,9 +53,15 @@ object Politeness {
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("root").as("__oroot"), col("__salt").as("__osalt"), col("__off"))
       val w = Window.partitionBy(col("root"), col("__salt")).orderBy(drainOrder: _*)
+      // merge, NOT broadcast: the window output is already partitioned AND
+      // sorted on the join keys, so a sort-merge join re-shuffles/sorts ONLY
+      // the hosts×salts-sized offsets side — whereas a broadcast relation
+      // must materialize through the executor's contended execution pool
+      // (measured: deep-frontier supersteps died deserializing exactly this
+      // broadcast while the rank/politeness sorts held the off-heap pool).
       salted0
         .withColumn("__rn", row_number().over(w))
-        .join(broadcast(offsets),
+        .join(offsets.hint("merge"),
           col("root") === col("__oroot") && col("__salt") === col("__osalt"), "left")
         .withColumn("interval",
           floor((col("__rn") + coalesce(col("__off"), lit(0L)) - 1) / budget).cast("int"))

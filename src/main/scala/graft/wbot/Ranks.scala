@@ -63,20 +63,23 @@ object Ranks {
     val pidExpr = ((seqCol.cast("long") - lit(lo)) * lit(buckets.toLong) / lit(span)).cast("int")
     val offHeap = org.apache.spark.sql.SparkSession.active.conf
       .getOption("spark.memory.offHeap.enabled").contains("true")
-    // LAZY local checkpoint, not persist: the counts action below both fills
-    // the blocks and CUTS LINEAGE, so callers can keep the ranked output (and
+    // persist + explicit lineage cut, NOT localCheckpoint: the counts action
+    // below fills the blocks, and DatasetBridge.lineageCut turns the cache
+    // scan into a leaf plan — so callers can keep the ranked output (and
     // views over `cached`) alive across further iterations without their
-    // plans compounding — the crawl loop uses this to make the ranked fresh
-    // set the next frontier AND the seen delta with zero extra actions.
-    val parted = df.withColumn("__pid", pidExpr)
+    // plans compounding, the bytes stay in the ACCOUNTED spill-safe pool
+    // (localCheckpoint silently forces blocks on-heap — see the bridge's
+    // scaladoc), and a lost partition recomputes instead of failing the job.
+    val parted0 = df.withColumn("__pid", pidExpr)
       .repartition(p, col("__pid"))
-      .localCheckpoint(false,
+      .persist(
         if (offHeap) org.apache.spark.storage.StorageLevel.OFF_HEAP
         else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // ONE pass over the upstream: fills the bucket blocks and collects the
     // per-bucket counts (≤ `buckets` rows cross the driver)
-    val counts = parted.groupBy(col("__pid")).count().collect()
+    val counts = parted0.groupBy(col("__pid")).count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val parted = org.apache.spark.sql.graftbridge.DatasetBridge.lineageCut(parted0)
     var total = 0L
     val offsets: Map[Int, Long] =
       counts.map { case (pid, c) => val o = (pid, total); total += c; o }.toMap

@@ -79,7 +79,10 @@ object SeenScaleBench {
         store.update(seen.select("hash64"))
       }
       val (fresh, killRate) = timed(s"bloom prefilter + anti-join on survivors [$label]") {
-        val marked = store.withMight(cands, col("hash64"))
+        // cogroup mode: materialize the probe once — both legs scan it (the
+        // crawl loop does the same, SparkCrawler cogroup branch)
+        val marked0 = store.withMight(cands, col("hash64"))
+        val marked = if (store.usesCogroup) marked0.localCheckpoint(true) else marked0
         val sure = marked.where(!col("__might")).drop("__might")
         val suspect = marked.where(col("__might")).drop("__might")
           .join(seen.select("hash"), Seq("hash"), "left_anti")

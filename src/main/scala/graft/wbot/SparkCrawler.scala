@@ -204,6 +204,10 @@ object SparkCrawler {
       scala.concurrent.Await.result(bloomFut, scala.concurrent.duration.Duration.Inf)
       bloomFut = null
     }
+    // the current frontier's UNRANKED bucket store (rank-invariant consumers
+    // — the terminal hit count — read this and skip the seq-window sort);
+    // null when the frontier didn't come from an expansion (seeds, resume)
+    var frontierRaw: DataFrame = null
     var frontierSize = frontier.count()
     // size of the seen set == crawled_link (every fresh candidate is marked
     // seen; seeds are not) — gates Bloom activation without extra actions
@@ -217,13 +221,18 @@ object SparkCrawler {
       // hit count is a column-pruned SEMI join (the html bytes never ride a
       // cache) and politeness intervals (schedule-only metadata nothing
       // records) are skipped entirely. Metrics are identical by definition.
+      // The count is also RANK-invariant, so it reads the raw bucket store
+      // when one exists — the biggest frontier of the whole crawl skips its
+      // seq-window sort entirely.
       if (d >= cfg.maxDepth && !cfg.recordStreams && !cfg.strictPoliteness) {
         m("total_requests") += frontierSize
-        val fetched = frontier.join(pagesPrep.select("canon"), Seq("canon"), "left_semi").count()
+        val hitSrc = if (frontierRaw != null) frontierRaw else frontier
+        val fetched = hitSrc.join(pagesPrep.select("canon"), Seq("canon"), "left_semi").count()
         m("successful_requests") += fetched
         m("failed_requests") += frontierSize - fetched
         val oldFrontier = frontier
         frontier = spark.emptyDataset[FrontierRow].toDF
+        frontierRaw = null
         oldFrontier.unpersist()
         storage.foreach { s =>
           s.commitStep(d, frontier, None, emptyOrder(spark), emptyAttempts(spark),
@@ -459,10 +468,12 @@ object SparkCrawler {
 
         val oldFrontier = frontier
         frontier = fresh
+        frontierRaw = rank.cached
         oldFrontier.unpersist()
       } else {
         val oldFrontier = frontier
         frontier = spark.emptyDataset[FrontierRow].toDF
+        frontierRaw = null
         oldFrontier.unpersist()
       }
       // harvest the concurrent order-stream checkpoint (main thread owns the
