@@ -66,10 +66,13 @@ object CrawlBench {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
           math.max(2 * cores, spec.totalRows / 25000).toString))
-      // benchmarking on local-cluster: never trade wall-clock for locality —
-      // the pages cache is partition-pinned to executors and the default 3s
-      // locality wait serializes whole stages behind it
-      .config("spark.locality.wait", "0s")
+      // locality wait: 0 forfeits cache locality entirely (multi-executor
+      // tasks then pull their pages-cache partition over netty — measured
+      // +47% total CPU on the deep superstep), while the 3s default
+      // serializes whole stages behind busy executors (round-2: 118s → 78s
+      // from dropping it). A small sub-task-length wait keeps most reads
+      // local without stalling waves.
+      .config("spark.locality.wait", sys.env.getOrElse("SPARK_GRAFT_LOCALITY_WAIT", "300ms"))
       .config("spark.sql.adaptive.enabled", "true")
       // coalescing ON by default since partition counts are DATA-sized below
       // (memory safety at deep frontiers); AQE then merges the many tiny
