@@ -31,7 +31,12 @@ object CrawlDemo {
       .toDF("url", "warc_ts", "html", "text", "lang")
 
     val cfg = Schemas.CrawlConfig(maxDepth = maxDepth, partitions = 4)
-    val run = SparkCrawler.run(spark, pages, seeds, cfg)
+    // WBOT_ROBOTS=1: bootstrap robots.txt rules from the snapshot itself and
+    // crawl in standard (RFC 9309) mode — the rules ride the prepared pages
+    val run =
+      if (sys.env.get("WBOT_ROBOTS").contains("1"))
+        SparkCrawler.runWithRobots(spark, pages, seeds, cfg)
+      else SparkCrawler.run(spark, pages, seeds, cfg)
 
     println(s"=== crawl stream (first 20 of ${run.order.count()} pages, FIFO order) ===")
     run.order.orderBy("seq").select("seq", "depth", "url", "interval").show(20, truncate = false)

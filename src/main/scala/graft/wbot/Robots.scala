@@ -58,36 +58,47 @@ object Robots {
     out.result()
   }
 
-  /** Fetch + parse robots.txt for every registrable host present in the
-    * pages snapshot (one join against the snapshot, parse distributed, rules
-    * collected — the table is hosts-sized, i.e. broadcast-small). */
+  /** Fetch + parse robots.txt for every host authority present in the pages
+    * snapshot (one join against the snapshot, parse distributed, rules
+    * collected — the table is hosts-sized, i.e. broadcast-small).
+    *
+    * Rule keys are PORT-STRIPPED hostnames (Go `URL.Hostname()` semantics):
+    * the crawl gate compares the candidate's `hostnameOnly` against them
+    * (matching `Oracle`'s `target.url.hostnameOnly` at `Oracle.scala`), so a
+    * `site.com:8080` snapshot yields rules that gate `site.com[:anyport]`
+    * candidates — RFC 9309 per-authority scoping reduced to the engine's
+    * port-merged host identity. */
   def rulesFromPages(spark: SparkSession, pages: DataFrame): Seq[Schemas.RobotsRule] =
     rulesFromPages(spark, pages, None)
 
   /** As above, but when the caller already holds the [[SparkCrawler
     * .preparePages]] output (canon-keyed, cached), the robots-body side reads
-    * its precomputed canon instead of re-running the URL parser over the full
-    * snapshot — at 10^10 rows that second UDF pass is the whole cost of the
-    * bootstrap. The hosts dimension (with the original host[:port] spelling,
-    * which the rule table is keyed by) still needs the raw urls once. */
+    * its precomputed canon instead of re-running the URL canonicalizer over
+    * the full snapshot — at 10^10 rows that second pass is the whole cost of
+    * the bootstrap. The hosts dimension is a pure-column authority extraction
+    * over the raw urls (a codegen'd regexp, no UDF pass): the robots-join key
+    * is `wwwStrip(authority) + "/robots.txt"`, which IS the canonical form of
+    * `http://<authority>/robots.txt` (scheme dropped, leading `www.` trimmed,
+    * `/robots.txt` has nothing to percent-decode or slash-trim). */
   def rulesFromPages(spark: SparkSession, pages: DataFrame,
       pagesPrep: Option[DataFrame]): Seq[Schemas.RobotsRule] = {
     import spark.implicits._
     val parseRules = udf((host: String, body: Array[Byte]) =>
       if (body == null) Seq.empty[Schemas.RobotsRule]
       else parse(host, new String(body, "UTF-8")))
-    // hosts present in the snapshot → their robots.txt canonical keys
+    // authority of each snapshot url (host[:port], userinfo-free fixture
+    // grammar) — no URL parse, stays inside whole-stage codegen
     val hosts = pages
-      .withColumn("p", Udfs.parseUrl(col("url")))
-      .where(col("p.valid"))
-      .select(col("p.host").as("host")).distinct()
-      .withColumn("robots_url", concat(lit("http://"), col("host"), lit("/robots.txt")))
-      .withColumn("canon", Udfs.canonicalize(col("robots_url")))
-      .where(col("canon").isNotNull)
+      .select(regexp_extract(col("url"), "^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]+)", 1).as("host"))
+      .where(col("host") =!= "")
+      .distinct()
+      .withColumn("canon",
+        concat(regexp_replace(col("host"), "^www\\.", ""), lit("/robots.txt")))
     val robotsPages = pagesPrep match {
       case Some(prep) => prep.select(col("canon"), col("html")) // cached, canon precomputed
       case None => pages
-        .withColumn("pcanon", Udfs.canonicalize(col("url")))
+        .withColumn("pcanon", exprs.UrlExprs.canonicalizeUrl(col("url")))
+        .where(col("pcanon").isNotNull)
         .select(col("pcanon").as("canon"), col("html"))
     }
     hosts.join(robotsPages, Seq("canon"))
@@ -95,7 +106,9 @@ object Robots {
       .select(col("r.host"), col("r.agent"), col("r.allow"), col("r.pattern"))
       .as[(String, String, Boolean, String)]
       .collect()
-      .map { case (h, a, al, p) => Schemas.RobotsRule(h, a, al, p) }
-      .toSeq
+      // key by port-stripped hostname (driver-side — rules are already
+      // collected); distinct: `x.com` and `x.com:8080` spellings collapse
+      .map { case (h, a, al, p) => Schemas.RobotsRule(GoUrl.stripPort(h), a, al, p) }
+      .distinct.toSeq
   }
 }

@@ -129,6 +129,21 @@ object SparkCrawler {
     finally { pagesPrep.unpersist(); () }
   }
 
+  /** Standard-robots crawl: bootstrap the RFC 9309 rule table from the SAME
+    * prepared snapshot the fetch join uses (`Robots.rulesFromPages(pagesPrep)`
+    * — the robots-body side reads the cached canon-keyed prep, so the
+    * bootstrap costs one hosts-dimension pass, not a second full-snapshot
+    * canonicalization), then crawl with the rules enforced. */
+  def runWithRobots(spark: SparkSession, pages: DataFrame, seeds: Seq[String],
+      cfg: CrawlConfig, saltedPoliteness: Boolean = false): CrawlRun = {
+    val pagesPrep = preparePages(pages, cfg.partitions)
+    try {
+      val rules = Robots.rulesFromPages(spark, pages, Some(pagesPrep))
+      runPrepared(spark, pagesPrep, seeds,
+        cfg.copy(robots = rules, robotsStandardMode = true), saltedPoliteness)
+    } finally { pagesPrep.unpersist(); () }
+  }
+
   def runPrepared(spark: SparkSession, pagesPrep: DataFrame, seeds: Seq[String],
       cfg: CrawlConfig, saltedPoliteness: Boolean = false): CrawlRun = {
     import spark.implicits._
@@ -349,10 +364,13 @@ object SparkCrawler {
         // Q1: substring same-root (crawler.go:252-255 — contains, not suffix)
         var passCond = col("host").contains(col("parent_root"))
         // Q2: robots. Reference parity = allow-all no-op (robot.go:35-38);
-        // standard mode enforces host-keyed prefix rules on the candidate.
+        // standard mode enforces hostname-keyed prefix rules on the candidate
+        // — the PORT-STRIPPED hostname (Go URL.Hostname()), matching the
+        // Oracle's `target.url.hostnameOnly` gate: a rule for `site.com`
+        // applies to `http://site.com:8080/...` too.
         if (cfg.robotsStandardMode && cfg.robots.nonEmpty) {
           val allowed = Udfs.robotsAllowedUdf(cfg.robots)
-          passCond = passCond && allowed(col("host"), col("path"), col("ua"))
+          passCond = passCond && allowed(col("hostname"), col("path"), col("ua"))
         }
         // Q3: bad-extension (+ rule engine when configured) — filter.go:30-57
         passCond = passCond && (
@@ -370,6 +388,7 @@ object SparkCrawler {
           .select(col("parent_seq"), col("link_pos"), col("ua"), col("proxy"), col("parent_root"),
             col("cand.url").as("url"), col("cand.canon").as("canon"),
             col("cand.hash").as("hash"), col("cand.host").as("host"),
+            col("cand.hostname").as("hostname"),
             col("cand.root").as("root"), col("cand.path").as("path"))
           .withColumn("hash64", xxhash64(col("canon")))
           .withColumn("pass", passCond)
@@ -435,9 +454,23 @@ object SparkCrawler {
             col("host"), col("root"), col("depth"), col("score"), col("seq"),
             col("ua"), col("proxy"))
         actionRan = true
-        val candStats = candObs.get // filled by this superstep's jobs
-        candTotal = candStats("n_cands").asInstanceOf[Long]
-        passedCount = Option(candStats("n_passed")).fold(0L)(_.asInstanceOf[Long])
+        // filled by this superstep's jobs. CAVEAT: when the expansion yields
+        // ZERO fresh rows, AQE's empty-relation propagation can rewrite the
+        // whole collapsed subtree to an empty LocalTableScan and DROP the
+        // CollectMetrics node — the observation then completes with an EMPTY
+        // row. Rare (an expanding superstep where every candidate is a dup),
+        // and the recount below is exact because the pipeline is
+        // deterministic.
+        val candStats = candObs.get
+        if (candStats.isEmpty) {
+          val r = cands.agg(count(lit(1)),
+            sum(when(col("pass"), 1L).otherwise(0L))).first()
+          candTotal = r.getLong(0)
+          passedCount = if (r.isNullAt(1)) 0L else r.getLong(1)
+        } else {
+          candTotal = candStats("n_cands").asInstanceOf[Long]
+          passedCount = Option(candStats("n_passed")).fold(0L)(_.asInstanceOf[Long])
+        }
         m("total_link") += candTotal
         m("skipped_link") += candTotal - passedCount
         m("duplicated_link") += passedCount - freshCount
@@ -487,13 +520,27 @@ object SparkCrawler {
           col("interval"), col("ua"), col("proxy"))
       }
       if (!actionRan) joined.count() // ensure the fetch observation fired
-      val fetched = Option(fetchObs.get("fetched")).fold(0L)(_.asInstanceOf[Long])
+      // same empty-row hazard as candObs (see above): recount on the rare
+      // collapsed-plan path
+      val fetched = {
+        val m0 = fetchObs.get
+        if (m0.isEmpty) {
+          val r = joined.agg(sum(when(col("html").isNotNull, 1L).otherwise(0L))).first()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        } else Option(m0("fetched")).fold(0L)(_.asInstanceOf[Long])
+      }
       val failed = frontierSize - fetched
       m("successful_requests") += fetched
       m("failed_requests") += failed
       val nIntervals =
         if (cfg.strictPoliteness) strictIntervals
-        else Option(ivObs.get("max_iv")).fold(0)(_.asInstanceOf[Int] + 1)
+        else {
+          val m0 = ivObs.get
+          if (m0.isEmpty) {
+            val r = scheduled.agg(max(col("interval"))).first()
+            (if (r.isNullAt(0)) -1 else r.getInt(0)) + 1
+          } else Option(m0("max_iv")).fold(0)(_.asInstanceOf[Int] + 1)
+        }
 
       // atomic superstep commit: frontier, seen delta, crawled delta,
       // attempts delta, metrics, seq watermark — overlaps the Bloom merge,

@@ -14,9 +14,12 @@ object Udfs {
 
   /** Candidate link after resolve + validate (`http_client.go:125-136`):
     * null when silently dropped. `path` is the decoded path (the operand of
-    * the bad-extension filter, `filter.go:31`). */
+    * the bad-extension filter, `filter.go:31`). `host` is the raw host[:port]
+    * (the Q1 operand, `crawler.go:252`); `hostname` is the port-stripped
+    * hostname (Go `URL.Hostname()` — the robots-gate operand, matching
+    * `Oracle`'s `target.url.hostnameOnly`). */
   final case class Cand(url: String, canon: String, hash: String, host: String,
-      root: String, path: String)
+      hostname: String, root: String, path: String)
 
   /** Parsed seed / frontier URL. */
   final case class ParsedUrl(url: String, canon: String, hash: String, host: String,
@@ -38,7 +41,8 @@ object Udfs {
     (for {
       parent <- parseParent(parentUrl)
       cand <- UrlFuncs.candidate(parent.url, href)
-    } yield Cand(cand.urlStr, cand.canon, cand.hash, cand.host, cand.root, cand.url.path)).orNull
+    } yield Cand(cand.urlStr, cand.canon, cand.hash, cand.host, cand.url.hostnameOnly,
+      cand.root, cand.url.path)).orNull
   }
 
   val parseUrlFn: String => ParsedUrl = raw =>

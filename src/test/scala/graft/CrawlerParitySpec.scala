@@ -16,7 +16,31 @@ class CrawlerParitySpec extends SparkSuite {
       salted: Boolean = false): SparkCrawler.CrawlRun = {
     val oracle = Oracle.run(Fixtures.oraclePages(spec), seeds, cfg)
     val run = SparkCrawler.run(spark, SparkTestBase.pagesDf(spec), seeds, cfg, salted)
+    assertRunsEqual(oracle, run)
+    run
+  }
 
+  /** Engine ≡ Oracle over a hand-built page set (url → html) — for quirk
+    * shapes the fixture grammar deliberately never emits (e.g. explicit
+    * ports). */
+  private def assertParityRaw(pagesList: Seq[(String, String)], seeds: Seq[String],
+      cfg: CrawlConfig): SparkCrawler.CrawlRun = {
+    val s = spark
+    import s.implicits._
+    val df = pagesList.zipWithIndex.map { case ((u, h), i) =>
+      (u, new java.sql.Timestamp(1704067200000L + i * 1000L), h.getBytes("UTF-8"), "", "en")
+    }.toDF("url", "warc_ts", "html", "text", "lang")
+    val oraclePages = pagesList.map { case (u, h) =>
+      val p = UrlFuncs.newUrl(u).fold(e => sys.error(s"bad test url $u: $e"), identity)
+      p.canon -> Oracle.Page(u, h.getBytes("UTF-8"), "")
+    }.toMap
+    val oracle = Oracle.run(oraclePages, seeds, cfg)
+    val run = SparkCrawler.run(spark, df, seeds, cfg)
+    assertRunsEqual(oracle, run)
+    run
+  }
+
+  private def assertRunsEqual(oracle: Oracle.Result, run: SparkCrawler.CrawlRun): Unit = {
     // crawl order: engine rows sorted by seq must equal the oracle stream
     val engineOrder = run.order.orderBy("seq")
       .select("seq", "url", "canon", "hash", "depth", "ua", "proxy")
@@ -39,7 +63,6 @@ class CrawlerParitySpec extends SparkSuite {
 
     // the 7 reference metrics counters
     assert(run.metrics == oracle.metrics, "metrics mismatch")
-    run
   }
 
   private val tiny = Fixtures.tiny
@@ -125,6 +148,32 @@ class CrawlerParitySpec extends SparkSuite {
       RobotsRule(Fixtures.hostName(tiny, 0), "*", allow = true, "/d1/p7"))
     assertParity(tiny, tinySeeds, CrawlConfig(maxDepth = 3, partitions = 4,
       robots = robots, robotsStandardMode = true))
+  }
+
+  test("parity: robots rules gate PORTED urls via hostname-only (host[:port] quirk)") {
+    // the fixture grammar never emits ports, so this is a hand-built web: the
+    // robots rule is keyed `site0.com` (hostname-only, like the Oracle's
+    // `hostnameOnly` gate) and must bite candidates on `site0.com:8080`
+    val host = "site0.com:8080"
+    def page(links: Seq[String]): String =
+      links.map(l => s"""<a href="$l">x</a>""")
+        .mkString("<html><body>\n", "\n", "\n</body></html>")
+    val pages = Seq(
+      s"http://$host/" -> page(Seq("/d1/a", "/d2/b", s"http://$host/c", "/d1/d.png")),
+      s"http://$host/d1/a" -> page(Seq("/", "/d2/b", "/c")),
+      s"http://$host/d2/b" -> page(Seq("/c", "/d1/a")),
+      s"http://$host/c" -> page(Seq("/d1/a", "/d2/x")))
+    val robots = Seq(RobotsRule("site0.com", "*", allow = false, "/d2/"))
+    val cfg = CrawlConfig(maxDepth = 3, partitions = 4,
+      robots = robots, robotsStandardMode = true)
+    val run = assertParityRaw(pages, Seq(s"http://$host/"), cfg)
+    // the gate actually bites on the ported host
+    val urls = run.order.select("url").collect().map(_.getString(0)).toSet
+    assert(!urls.exists(_.contains("/d2/")), s"robots Disallow /d2/ violated: $urls")
+    assert(run.metrics("skipped_link") > 0L)
+    // control: same web without rules DOES reach /d2/
+    val open = assertParityRaw(pages, Seq(s"http://$host/"), cfg.copy(robots = Seq.empty))
+    assert(open.order.select("url").collect().map(_.getString(0)).exists(_.contains("/d2/")))
   }
 
   test("parity: duplicate seed in seed list crawls twice (seeds not pre-marked)") {

@@ -113,6 +113,36 @@ class RobotsSpec extends SparkSuite {
       Fixtures.seeds(spec), cfg.copy(robots = Seq.empty)).metrics("skipped_link"))
   }
 
+  test("rulesFromPages: prepared-snapshot overload ≡ raw path, and runWithRobots wires it") {
+    val spec = Fixtures.SiteSpec(nHosts = 4, pagesPerHost = 12, robotsEvery = 2)
+    val pages = SparkTestBase.pagesDf(spec)
+    val raw = Robots.rulesFromPages(spark, pages)
+    val prep = SparkCrawler.preparePages(pages, 4)
+    try {
+      // the zero-UDF-pass bootstrap over the cached prep yields the same table
+      assert(Robots.rulesFromPages(spark, pages, Some(prep)).toSet == raw.toSet)
+    } finally prep.unpersist()
+    // runWithRobots = prep + bootstrap + standard-mode crawl, one snapshot pass
+    val cfg = CrawlConfig(maxDepth = 2, partitions = 4)
+    val run = SparkCrawler.runWithRobots(spark, pages, Fixtures.seeds(spec), cfg)
+    val oracle = Oracle.run(Fixtures.oraclePages(spec), Fixtures.seeds(spec),
+      cfg.copy(robots = raw, robotsStandardMode = true))
+    assert(run.metrics == oracle.metrics)
+  }
+
+  test("rulesFromPages: ported authority keys rules by hostname-only") {
+    val s = spark
+    import s.implicits._
+    val robotsBody = "User-agent: *\nDisallow: /d2/\n"
+    val df = Seq(
+      ("http://x.com:8080/", "<html></html>"),
+      ("http://x.com:8080/robots.txt", robotsBody))
+      .map { case (u, h) => (u, new java.sql.Timestamp(0L), h.getBytes("UTF-8"), "", "en") }
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    assert(Robots.rulesFromPages(spark, df).toSet ==
+      Set(RobotsRule("x.com", "*", allow = false, "/d2/")))
+  }
+
   test("robots pages keep the extractText invariant") {
     val spec = Fixtures.SiteSpec(nHosts = 4, pagesPerHost = 6, robotsEvery = 2)
     Fixtures.allPages(spec).foreach { p =>
