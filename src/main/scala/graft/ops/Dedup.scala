@@ -223,6 +223,10 @@ object Dedup {
    * quantized dot verifies within candidates only. Work is
    * O(N·bands + Σ bucket²) instead of the all-pairs O(N²); recall vs the
    * exact cross-join is property-tested (EmbeddingNearDupSpec).
+   *
+   * CONTRACT: every embedding must have exactly `dims` elements — a ragged
+   * row fails the job loudly ([[Similarity.quantizedChecked]]); pre-filter
+   * `size(col(vecCol)) === dims` on uncurated data.
    */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       minQdot: Long, bands: Int, bitsPerBand: Int, dims: Int,

@@ -107,7 +107,13 @@ object Similarity {
     *
     * Scale shape: corpus band keys stream (one pass, exploded); query bands
     * broadcast; only bucket-colliding pairs are scored, and vectors are
-    * joined back only for candidates. */
+    * joined back only for candidates.
+    *
+    * CONTRACT: every embedding must have exactly `dims` elements — a ragged
+    * or wrong-dims row raises a runtime error and FAILS THE JOB (via
+    * [[quantizedChecked]]) rather than silently landing in bucket 0 with
+    * zeroed planes. Callers on uncurated data should pre-filter
+    * (`size(col(vecCol)) === dims`) if degraded rows are expected. */
   def lshBucketTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, bands: Int, bitsPerBand: Int, dims: Int): DataFrame = {
     val cb = withBandKeys(corpus, idCol, vecCol, bands, bitsPerBand, dims)

@@ -43,22 +43,32 @@ object SparkCrawler {
   /** Prepare the pages side of the fetch join once: canonical key + hash64,
     * hash-partitioned (the Iceberg-table layout stand-in; on a real cluster
     * this is the bucketed/partitioned Iceberg table, SURVEY.md §7.6). */
-  def preparePages(pages: DataFrame, partitions: Int): DataFrame =
+  def preparePages(pages: DataFrame, partitions: Int): DataFrame = {
+    // canon uniqueness is a store invariant (the reference holds ONE page per
+    // URL, store/in_memory.go); enforcing it here makes the regular left-join
+    // hit count and the fast-terminal semi-join count provably equivalent.
+    // The winner per canon is DETERMINISTIC — latest snapshot wins (max
+    // warc_ts, max url on ties), not dropDuplicates' arbitrary first-seen —
+    // so duplicate-canon snapshots (www aliases, re-crawled WARC segments)
+    // produce the same crawl on every run. Fixture webs never emit duplicate
+    // canons, so the Oracle's Map semantics coincide trivially there.
+    val ordCol =
+      if (pages.columns.contains("warc_ts")) struct(col("warc_ts"), col("url"))
+      else struct(col("url"))
     pages
       // native codegen'd expression (exprs.CanonicalizeUrl) — stays inside
       // whole-stage codegen on the biggest scan of the pipeline
       .withColumn("canon", exprs.UrlExprs.canonicalizeUrl(col("url")))
       .where(col("canon").isNotNull)
-      .withColumn("hash64", xxhash64(col("canon")))
       // fetch-join payload only: the engine never reads page_url/text/lang
       // downstream, and every byte here rides through the per-superstep join
-      .select(col("canon"), col("hash64"), col("html"))
+      .select(col("canon"), col("html"), ordCol.as("__ord"))
       .repartition(partitions, col("canon"))
-      // canon uniqueness is a store invariant (the reference holds ONE page
-      // per URL, store/in_memory.go); enforcing it here makes the regular
-      // left-join hit count and the fast-terminal semi-join count provably
-      // equivalent. Rides the repartition's clustering — no extra shuffle.
-      .dropDuplicates("canon")
+      // rides the repartition's clustering — no extra shuffle
+      .groupBy(col("canon"))
+      .agg(max_by(col("html"), col("__ord")).as("html"))
+      .withColumn("hash64", xxhash64(col("canon")))
+      .select(col("canon"), col("hash64"), col("html"))
       // sorted-within-buckets layout (what the bucketed+sorted Iceberg table
       // gives on a real cluster): the per-superstep sort-merge fetch join
       // then sorts ONLY the frontier side — the 10^10-row pages side is
@@ -71,6 +81,7 @@ object SparkCrawler {
         if (org.apache.spark.sql.SparkSession.active.conf
           .getOption("spark.memory.offHeap.enabled").contains("true")) StorageLevel.OFF_HEAP
         else StorageLevel.MEMORY_AND_DISK_SER)
+  }
 
 
   /** Executor for per-superstep side jobs (order-stream checkpoint, Bloom
@@ -415,6 +426,7 @@ object SparkCrawler {
         val seenHinted =
           if (seenTotal <= 200000L) seen.select("hash")
           else seen.select("hash").hint("merge")
+        var markedCache: DataFrame = null
         val fresh0 =
           if (bloomActive) {
             // broadcast probe: a codegen'd map over the reused window shuffle
@@ -422,9 +434,19 @@ object SparkCrawler {
             // candidate set. Cogroup probe (the 10^10 path): its own shuffle +
             // per-group segment decode — materialize ONCE so the two legs
             // don't pay the probe twice (one extra job, amortized at the
-            // volumes that select this path).
+            // volumes that select this path). persist at bulkLevel, NOT
+            // localCheckpoint: checkpoint blocks are forced on-heap, pinned
+            // forever by the retained seen-delta caches, and a lost block
+            // fails the job — the accounted persist is spill-safe,
+            // recomputable, and explicitly unpersisted once the rank's bucket
+            // store is materialized (the only consumer after that point is a
+            // rare lost-partition recompute, which re-runs the probe plan).
             val marked0 = bloom.withMight(firsts, col("hash64"))
-            val marked = if (bloom.usesCogroup) marked0.localCheckpoint(true) else marked0
+            val marked = if (bloom.usesCogroup) {
+              markedCache = marked0.persist(bulkLevel)
+              markedCache.count() // eager: both legs read blocks, not the cogroup twice
+              markedCache
+            } else marked0
             val sure = marked.where(!col("__might")).drop("__might")
             val suspect = marked.where(col("__might")).drop("__might")
               .join(seenHinted, Seq("hash"), "left_anti")
@@ -446,6 +468,9 @@ object SparkCrawler {
         val rank = Ranks.denseRangeRank(fresh0, col("parent_seq"),
           seqBase - frontierSize, seqBase, Seq(col("link_pos")), "__rank", cfg.partitions)
         freshCount = rank.total
+        // the rank's bucket store is materialized (its counts pass just ran):
+        // the cogroup probe cache has served its purpose — release the blocks
+        if (markedCache != null) { markedCache.unpersist(); markedCache = null }
         val fresh = rank.df
           .withColumn("seq", col("__rank") - 1 + lit(seqBase))
           .withColumn("depth", lit(d + 1))

@@ -60,6 +60,25 @@ class PlanSpec extends SparkSuite {
     pagesPrep.unpersist()
   }
 
+  test("preparePages: duplicate canons resolve to a deterministic winner (latest snapshot)") {
+    import spark.implicits._
+    // www alias + re-crawled snapshot: three rows, ONE canon — the survivor
+    // must be the max-(warc_ts, url) row on every run, not first-seen
+    val rows = Seq(
+      ("http://site0.com/a", 1000L, "old"),
+      ("http://www.site0.com/a", 3000L, "newest"),
+      ("http://site0.com/a?x=1", 2000L, "other-canon"))
+    val df = rows.map { case (u, ts, body) =>
+      (u, new java.sql.Timestamp(ts), body.getBytes("UTF-8"), body, "en")
+    }.toDF("url", "warc_ts", "html", "text", "lang")
+    val prep = SparkCrawler.preparePages(df, 2)
+    try {
+      val got = prep.collect().map(r =>
+        r.getString(0) -> new String(r.getAs[Array[Byte]]("html"), "UTF-8")).toMap
+      assert(got == Map("site0.com/a" -> "newest", "site0.com/a?x=1" -> "other-canon"))
+    } finally prep.unpersist()
+  }
+
   test("politeness window projection stays inside codegen (no scala UDF)") {
     val cfg = graft.wbot.Schemas.CrawlConfig(partitions = 4,
       rateLimits = Map("*" -> graft.wbot.Schemas.Budget(3, 1000L),
