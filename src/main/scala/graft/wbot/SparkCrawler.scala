@@ -157,17 +157,14 @@ object SparkCrawler {
 
   def runPrepared(spark: SparkSession, pagesPrep: DataFrame, seeds: Seq[String],
       cfg: CrawlConfig, saltedPoliteness: Boolean = false): CrawlRun = {
-    import spark.implicits._
     val frontier = seedFrontier(spark, seeds, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     val seqBase = frontier.count()
-    val seen = spark.emptyDataset[(String, Long)].toDF("hash", "hash64")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val m = mutable.Map(
       "total_requests" -> 0L, "successful_requests" -> 0L, "failed_requests" -> 0L,
       "total_link" -> 0L, "crawled_link" -> 0L, "skipped_link" -> 0L,
       "duplicated_link" -> 0L)
     crawlLoop(spark, pagesPrep, cfg, saltedPoliteness,
-      State(frontier, seen, newBloom(spark, cfg), m, seqBase, 0,
+      State(frontier, null, newBloom(spark, cfg), m, seqBase, 0,
         mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
   }
 
@@ -204,13 +201,40 @@ object SparkCrawler {
         BloomSeen.bytesFor(1L << 16, cfg.bloomBitsPerKey), cfg.bloomBroadcastMaxBytes)
     else null
 
+  /** Materialize a seen delta HASH-PARTITIONED on its join key: one
+    * O(delta) repartition + accounted persist at birth, lineage-cut with the
+    * partitioning DECLARED on the leaf. Every later anti-join then reads the
+    * accumulated union with zero exchange on the seen side (the in-memory
+    * analogue of appending to a bucketed seen table — SURVEY §1.1/§4.3),
+    * where the unaligned design re-shuffled the FULL seen set every
+    * superstep: O(seen) per superstep, quadratic cumulative. */
+  private def alignDelta(delta: DataFrame, p: Int): DataFrame = {
+    val parted = delta.repartition(p, col("hash")).persist(bulkLevel)
+    parted.count()
+    org.apache.spark.sql.graftbridge.DatasetBridge.lineageCutPartitioned(parted, Seq("hash"), p)
+  }
+
   private def crawlLoop(spark: SparkSession, pagesPrep: DataFrame, cfg: CrawlConfig,
       saltedPoliteness: Boolean, st0: State): CrawlRun = {
     import spark.implicits._
     var frontier = st0.frontier
+    // join-width alignment: deltas are partitioned to the session's shuffle
+    // width so the anti-join's candidate side (the first-occurrence window's
+    // shuffle) and the seen side line up with no extra exchange
+    val alignP = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val seenDeltas = mutable.ArrayBuffer.empty[DataFrame]
-    if (st0.seen != null) seenDeltas += st0.seen
-    def seen: DataFrame = seenDeltas.reduce(_ unionByName _)
+    if (st0.seen != null && st0.metrics.getOrElse("crawled_link", 0L) > 0L) {
+      seenDeltas += alignDelta(st0.seen.select(col("hash"), col("hash64")), alignP)
+      st0.seen.unpersist() // the aligned copy supersedes the resume-loaded cache
+    }
+    def emptySeen: DataFrame = spark.emptyDataset[(String, Long)].toDF("hash", "hash64")
+    def seen: DataFrame = seenDeltas.reduceOption(_ unionByName _).getOrElse(emptySeen)
+    // the anti-join view: partition-wise union of the aligned deltas — ONE
+    // leaf with the hash partitioning still visible to Catalyst
+    def seenForJoin: DataFrame =
+      if (seenDeltas.isEmpty) emptySeen
+      else org.apache.spark.sql.graftbridge.DatasetBridge
+        .alignedUnion(seenDeltas.toSeq, Seq("hash"), alignP)
     val bloom = st0.bloom
     val m = st0.metrics
     var seqBase = st0.seqBase
@@ -258,6 +282,7 @@ object SparkCrawler {
         m("failed_requests") += frontierSize - fetched
         val oldFrontier = frontier
         frontier = spark.emptyDataset[FrontierRow].toDF
+        if (frontierRaw != null) frontierRaw.unpersist() // terminal count done
         frontierRaw = null
         oldFrontier.unpersist()
         storage.foreach { s =>
@@ -365,6 +390,12 @@ object SparkCrawler {
       var candTotal = 0L
       var passedCount = 0L
       var seenDelta: Option[DataFrame] = None
+      // in-flight hash-alignment of this superstep's seen delta (concurrent
+      // with the Bloom merge — both read the materialized bucket store)
+      var alignFut: scala.concurrent.Future[DataFrame] = null
+      // the store backing the frontier this superstep consumes: releasable
+      // once every consumer (main plan, order checkpoint, commit) is done
+      val consumedStore = frontierRaw
       if (d < cfg.maxDepth) { // Q5: expand only when depth+1 ≤ maxDepth
         // F4+F5+F1+F3: extract (on the MaxBodySize-truncated body,
         // http_client.go:117-123) → resolve → validate; drops are silent
@@ -420,12 +451,19 @@ object SparkCrawler {
         // The store picks broadcast vs pid-co-partitioned join by segment
         // volume; either way only suspects enter the anti-join shuffle.
         val bloomActive = bloom != null && seenTotal >= cfg.bloomMinSeen
-        // same broadcast guard as the fetch join: seenTotal is exact driver
-        // state, so pin the anti-join to sort-merge once the seen side would
-        // decompress into an executor-killing hashed relation
-        val seenHinted =
-          if (seenTotal <= 200000L) seen.select("hash")
-          else seen.select("hash").hint("merge")
+        // The seen side is the partition-wise union of the hash-aligned
+        // deltas: NO exchange, NO sort on it, at any seen size. Below the
+        // broadcast bound a broadcast of the (small) seen set stays allowed;
+        // above it the join is pinned to a shuffled-hash join whose BUILD is
+        // one aligned partition (seen/P rows per task — P is sized so that
+        // fits, ~60 MB at 10^10 keys with P=16384), and whose probe side
+        // reuses the first-occurrence window's hash partitioning. AQE's
+        // compressed-size broadcast estimates (the round-3 OOM) never see an
+        // exchange to convert.
+        val seenHinted = {
+          val s0 = seenForJoin.select("hash")
+          if (seenTotal <= 200000L) s0 else s0.hint("shuffle_hash")
+        }
         var markedCache: DataFrame = null
         val fresh0 =
           if (bloomActive) {
@@ -502,12 +540,14 @@ object SparkCrawler {
         m("crawled_link") += freshCount
         seqBase += freshCount
 
-        // the seen set is a LIST of already-materialized deltas (projections
-        // of each superstep's checkpointed bucket blocks) — appending costs
-        // nothing per superstep; the anti-join scans the union lazily. On a
-        // real cluster this is an append to the bucketed seen table (Storage
-        // does exactly that when a checkpointDir is configured).
-        seenDeltas += rank.cached.select(col("hash"), col("hash64"))
+        // the seen set is a LIST of hash-aligned materialized deltas: the
+        // alignment costs one O(fresh) repartition per superstep (concurrent
+        // side job), and every later anti-join reads the union with zero
+        // shuffle on the seen side. On a real cluster this is an append to
+        // the bucketed seen table (Storage writes exactly these aligned
+        // deltas when a checkpointDir is configured).
+        alignFut = scala.concurrent.Future(
+          alignDelta(rank.cached.select(col("hash"), col("hash64")), alignP))(sideEc)
         if (bloom != null) {
           // segment merge is independent of the order-stream checkpoint and
           // the snapshot commit — run it concurrently, await before the next
@@ -516,13 +556,16 @@ object SparkCrawler {
             bloomFut = scala.concurrent.Future(
               bloom.update(rank.cached.select("hash64")))(sideEc)
           else if (seenTotal + freshCount >= cfg.bloomMinSeen) {
-            val allSeen = seen // one-time catch-up over all deltas
-            bloomFut = scala.concurrent.Future(bloom.update(allSeen.select("hash64")))(sideEc)
+            // one-time catch-up over all prior deltas PLUS this superstep's
+            // fresh keys (not yet appended — the alignment is in flight):
+            // the filter must cover every seen key before the next probe,
+            // or a duplicate would pass as fresh (no-false-negatives bound)
+            val allSeen = seen.select("hash64").unionByName(rank.cached.select("hash64"))
+            bloomFut = scala.concurrent.Future(bloom.update(allSeen))(sideEc)
           }
           // else: deferred — the early anti-joins are cheaper than segment upkeep
         }
         seenTotal += freshCount
-        seenDelta = Some(rank.cached.select(col("hash"), col("hash64")))
 
         val oldFrontier = frontier
         frontier = fresh
@@ -567,6 +610,15 @@ object SparkCrawler {
           } else Option(m0("max_iv")).fold(0)(_.asInstanceOf[Int] + 1)
         }
 
+      // harvest the concurrent delta alignment: the NEXT superstep's
+      // anti-join (and this superstep's commit) read the aligned store
+      if (alignFut != null) {
+        val aligned = scala.concurrent.Await.result(alignFut,
+          scala.concurrent.duration.Duration.Inf)
+        seenDeltas += aligned
+        seenDelta = Some(aligned)
+        alignFut = null
+      }
       // atomic superstep commit: frontier, seen delta, crawled delta,
       // attempts delta, metrics, seq watermark — overlaps the Bloom merge,
       // awaited before the superstep closes (the next superstep unpersists
@@ -587,6 +639,12 @@ object SparkCrawler {
         nIntervals, wallMs)
       if (cacheScheduled) scheduled.unpersist()
       if (cfg.strictPoliteness) joined.unpersist()
+      // every consumer of the PREVIOUS superstep's bucket store (this
+      // superstep's main plan, order checkpoint, commit) has finished, and
+      // the seen delta no longer aliases it (hash-aligned copy) — release.
+      // Before the alignment, deltas pinned every store for the crawl's
+      // lifetime: Σ O(full frontier rows) off-heap, vs Σ O(hash rows) now.
+      if (consumedStore != null && (consumedStore ne frontierRaw)) consumedStore.unpersist()
 
       frontierSize = if (d < cfg.maxDepth) freshCount else 0L
       d += 1

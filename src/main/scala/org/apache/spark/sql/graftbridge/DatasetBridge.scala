@@ -2,6 +2,7 @@ package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution
 
 /** Catalyst-lineage cut WITHOUT `localCheckpoint`: wraps a (cached)
   * DataFrame's physical RDD in a fresh LogicalRDD leaf, exactly like
@@ -24,4 +25,102 @@ object DatasetBridge {
     val cdf = df.asInstanceOf[classic.Dataset[Row]]
     cdf.sparkSession.internalCreateDataFrame(cdf.queryExecution.toRdd, cdf.schema)
   }
+
+  /** As [[lineageCut]] but DECLARING the leaf's hash partitioning: a cut
+    * `repartition(p, key)` store keeps reporting `HashPartitioning(key, p)`,
+    * so downstream joins/aggregations on `key` add NO exchange over it.
+    *
+    * The partitioning is declared, not captured: `LogicalRDD.fromDataset`
+    * (Dataset.checkpoint's capture path) reads the origin's
+    * `executedPlan.outputPartitioning`, which an AQE-wrapped or cached plan
+    * reports as `UnknownPartitioning` — measured, hence this explicit form.
+    * The CALLER asserts the data really is laid out that way (i.e. this df
+    * is exactly a `repartition(numPartitions, keyCols)` output); the only
+    * machine-checkable part — the partition count — is required here. */
+  def lineageCutPartitioned(df: DataFrame, keyCols: Seq[String],
+      numPartitions: Int): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val rdd = cdf.queryExecution.toRdd
+    require(rdd.getNumPartitions == numPartitions,
+      s"declared $numPartitions partitions, rdd has ${rdd.getNumPartitions}")
+    val output = cdf.queryExecution.analyzed.output
+    val attrs = keyCols.map(k => output.find(_.name == k).getOrElse(
+      sys.error(s"partition key $k not in output ${output.map(_.name)}")))
+    val part = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(attrs, numPartitions)
+    classic.Dataset.ofRows(cdf.sparkSession,
+      execution.LogicalRDD(output, rdd, part, Nil, isStreaming = false)(
+        cdf.sparkSession, None, None))
+  }
+
+  /** debug: physical output partitioning + leaf partitioning of a plan */
+  def debugPartitioning(df: DataFrame): String = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val ep = cdf.queryExecution.executedPlan
+    s"executed=${ep.getClass.getSimpleName} partitioning=${ep.outputPartitioning} " +
+      s"logical=${cdf.queryExecution.optimizedPlan.getClass.getSimpleName}" +
+      (cdf.queryExecution.optimizedPlan match {
+        case l: execution.LogicalRDD => s" leafPartitioning=${l.outputPartitioning}"
+        case _ => ""
+      })
+  }
+
+  /** Partition-wise union of same-partitioning DataFrames: output partition i
+    * is the concatenation of every input's partition i, declared with the
+    * FIRST input's physical partitioning/ordering-free layout. Unlike
+    * `Dataset.union` (whose physical `UnionExec` reports unknown
+    * partitioning), the result keeps `HashPartitioning` visible — the
+    * mechanism behind the crawl's accumulated seen set: each superstep's
+    * delta is hash-partitioned ONCE at birth (O(delta)), and every later
+    * anti-join reads the union with zero exchange on the seen side, instead
+    * of re-shuffling the full accumulated set per superstep (O(seen),
+    * quadratic cumulative). On a real cluster this is the in-memory analogue
+    * of appending to a bucketed Iceberg table and storage-partitioned joins.
+    *
+    * Requirements: identical schemas, identical partition counts, and all
+    * inputs ACTUALLY partitioned by the same key layout (the caller's
+    * contract — this bridge only asserts count equality). Ordering is NOT
+    * preserved (concatenated sorted runs are not sorted). */
+  def alignedUnion(parts: Seq[DataFrame], keyCols: Seq[String],
+      numPartitions: Int): DataFrame = {
+    require(parts.nonEmpty, "alignedUnion of nothing")
+    if (parts.size == 1) return parts.head
+    val cparts = parts.map(_.asInstanceOf[classic.Dataset[Row]])
+    val rdds = cparts.map(_.queryExecution.toRdd)
+    require(rdds.forall(_.getNumPartitions == numPartitions),
+      s"alignedUnion inputs must all have $numPartitions partitions: " +
+        rdds.map(_.getNumPartitions).mkString(","))
+    val head = cparts.head
+    val union = new PartitionAlignedUnionRDD(head.sparkSession.sparkContext, rdds)
+    val output = head.queryExecution.analyzed.output
+    val attrs = keyCols.map(k => output.find(_.name == k).getOrElse(
+      sys.error(s"partition key $k not in output ${output.map(_.name)}")))
+    val part = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(attrs, numPartitions)
+    classic.Dataset.ofRows(head.sparkSession,
+      execution.LogicalRDD(output, union, part, Nil, isStreaming = false)(
+        head.sparkSession, None, None))
+  }
+}
+
+private final case class AlignedPart(index: Int) extends org.apache.spark.Partition
+
+/** Partition-wise union of RDDs with identical partition counts (and, by the
+  * caller's contract, identical partitioners): narrow dependencies only —
+  * partition i depends on every parent's partition i. */
+private final class PartitionAlignedUnionRDD(
+    sc: org.apache.spark.SparkContext,
+    parents: Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]])
+  extends org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow](
+    sc, parents.map(p => new org.apache.spark.NarrowDependency(p) {
+      override def getParents(pid: Int): Seq[Int] = Seq(pid)
+    })) {
+
+  override def getPartitions: Array[org.apache.spark.Partition] =
+    Array.tabulate(parents.head.getNumPartitions)(AlignedPart(_))
+
+  override def compute(split: org.apache.spark.Partition,
+      context: org.apache.spark.TaskContext): Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    parents.iterator.flatMap(p => p.iterator(p.partitions(split.index), context))
+
+  override def getPreferredLocations(split: org.apache.spark.Partition): Seq[String] =
+    parents.flatMap(p => p.preferredLocations(p.partitions(split.index))).distinct
 }

@@ -120,6 +120,33 @@ class PlanSpec extends SparkSuite {
       s"rank window must partition by the range bucket:\n$plan")
   }
 
+  test("seen anti-join: aligned delta union needs NO exchange or sort on the seen side") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    val p = 4 // == spark.sql.shuffle.partitions in the test session
+    def delta(r: Range): org.apache.spark.sql.DataFrame = {
+      val d = r.map(i => (s"h$i", i.toLong)).toDF("hash", "hash64")
+        .repartition(p, col("hash")).persist()
+      d.count()
+      DatasetBridge.lineageCutPartitioned(d, Seq("hash"), p)
+    }
+    val u = DatasetBridge.alignedUnion(Seq(delta(1 to 500), delta(400 to 900)), Seq("hash"), p)
+    assert(u.count() == 1001L && u.distinct().count() == 900L)
+    val cand = (300 to 1200).map(i => (s"h$i", i)).toDF("hash", "v")
+    // the engine's guarded anti-join shape (SparkCrawler seenHinted, large-seen path)
+    val anti = cand.join(u.select("hash").hint("shuffle_hash"), Seq("hash"), "left_anti")
+    assert(anti.collect().length == 300) // h901..h1200 survive
+    val plan = planOf(anti)
+    val finEnd = plan.indexOf("Initial Plan")
+    val fin = plan.substring(plan.indexOf("Final Plan"),
+      if (finEnd < 0) plan.length else finEnd)
+    assert(fin.contains("ShuffledHashJoin"), s"expected shuffled-hash anti-join:\n$fin")
+    // exactly ONE exchange (the candidate side); the seen union reads its
+    // aligned partitions straight into the join — no shuffle, no sort
+    assert("Exchange".r.findAllIn(fin).size == 1, s"seen side re-shuffled:\n$fin")
+    assert(!fin.contains("Sort "), s"unexpected sort in anti-join:\n$fin")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
