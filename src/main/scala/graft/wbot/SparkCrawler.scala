@@ -244,6 +244,11 @@ object SparkCrawler {
     val storage = cfg.checkpointDir.map(new Storage(_))
     storage.foreach(_.init())
 
+    // pages-cache bucket count: the fetch join's pruning granularity (equals
+    // cfg.partitions when the prep came from this config; derived from the
+    // actual layout so externally-prepared snapshots are safe)
+    val pagesP = pagesPrep.rdd.getNumPartitions
+
     var d = st0.startDepth
     var stepsRun = 0
     // in-flight Bloom segment merge: runs concurrently with the order-stream
@@ -327,6 +332,30 @@ object SparkCrawler {
           (if (r.isNullAt(0)) 0 else r.getInt(0)) + 1
         } else 0
 
+      // FRONTIER-BUCKET PRUNING of the pages cache — the in-engine analogue
+      // of Iceberg bucket pruning (on a real cluster the bucketed pages
+      // table gives this via storage-partitioned joins; the reference
+      // analogue is that an HTTP GET touches ONE url, http_client.go:99-106,
+      // never the corpus). The cache is hash-partitioned on canon, so the
+      // frontier's distinct partition ids (a tiny agg over the cached
+      // frontier store — ≤ P ints cross the driver) bound which cache
+      // partitions the fetch join can possibly hit; the rest become empty
+      // scan tasks that never decompress a batch. Shallow supersteps (the
+      // per-superstep floor's biggest term) then cost ~O(frontier-buckets),
+      // not O(corpus). Only worthwhile while the frontier can miss buckets:
+      // past ~4·P random keys expected coverage is ≈ 98%, so skip the probe.
+      val pagesSide: DataFrame =
+        if (frontierSize < 4L * pagesP) {
+          val src = if (frontierRaw != null) frontierRaw else frontier
+          val pids = src
+            .select(pmod(hash(col("canon")), lit(pagesP)).cast("int").as("__p"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          if (pids.size < pagesP)
+            org.apache.spark.sql.graftbridge.DatasetBridge.prunedCacheScan(
+              pagesPrep, pids, Seq("canon"), pagesP, Seq("canon"))
+          else pagesPrep
+        } else pagesPrep
+
       // S2: the fetch = left join against the pages snapshot on canonical key.
       // strictPoliteness physically drains one rate interval at a time
       // (schedule-faithful); default joins the whole depth at once (the
@@ -343,7 +372,7 @@ object SparkCrawler {
       val frontierBroadcastable = frontierSize <= 200000L
       def fetchJoin(fr: DataFrame): DataFrame =
         (if (frontierBroadcastable) fr else fr.hint("merge"))
-          .join(pagesPrep.drop("hash64"), Seq("canon"), "left")
+          .join(pagesSide.drop("hash64"), Seq("canon"), "left")
       val fetchObs = new org.apache.spark.sql.Observation(s"fetch_d${d}_s$stepsRun")
       val joined0 = (
         if (cfg.strictPoliteness && strictIntervals > 1) {

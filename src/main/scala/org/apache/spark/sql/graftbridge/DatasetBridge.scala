@@ -52,6 +52,41 @@ object DatasetBridge {
         cdf.sparkSession, None, None))
   }
 
+  /** Partition-pruned scan of a hash-partitioned (cached) DataFrame: keeps
+    * only `keepPids` partitions; pruned partitions become EMPTY iterators
+    * that never touch the cache (no batch decompression, no block fetch,
+    * no computation), while the partition COUNT — and hence the declared
+    * `HashPartitioning(keyCols, numPartitions)` and per-partition ordering —
+    * stays intact, so a join on the key still adds no exchange and no sort
+    * over the scan. This is the in-engine equivalent of Iceberg/bucketed-
+    * table bucket pruning: a frontier that hashes into k of P buckets reads
+    * k/P of the corpus instead of streaming all of it through the join.
+    *
+    * The caller's contract (as in [[lineageCutPartitioned]]): `df` really is
+    * laid out as `HashPartitioning(keyCols, numPartitions)` with partitions
+    * sorted by `orderedBy` — and every row whose key hashes into a pruned
+    * partition must be irrelevant to the query (for a join: no probe-side
+    * key hashes there). */
+  def prunedCacheScan(df: DataFrame, keepPids: Set[Int], keyCols: Seq[String],
+      numPartitions: Int, orderedBy: Seq[String]): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val rdd = cdf.queryExecution.toRdd
+    require(rdd.getNumPartitions == numPartitions,
+      s"declared $numPartitions partitions, rdd has ${rdd.getNumPartitions}")
+    val keep = Array.tabulate(numPartitions)(keepPids.contains)
+    val pruned = new PartitionPrunedRDD(rdd, keep)
+    val output = cdf.queryExecution.analyzed.output
+    def attrOf(k: String) = output.find(_.name == k).getOrElse(
+      sys.error(s"column $k not in output ${output.map(_.name)}"))
+    val part = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+      keyCols.map(attrOf), numPartitions)
+    val ordering = orderedBy.map(k => org.apache.spark.sql.catalyst.expressions.SortOrder(
+      attrOf(k), org.apache.spark.sql.catalyst.expressions.Ascending))
+    classic.Dataset.ofRows(cdf.sparkSession,
+      execution.LogicalRDD(output, pruned, part, ordering, isStreaming = false)(
+        cdf.sparkSession, None, None))
+  }
+
   /** debug: physical output partitioning + leaf partitioning of a plan */
   def debugPartitioning(df: DataFrame): String = {
     val cdf = df.asInstanceOf[classic.Dataset[Row]]
@@ -102,6 +137,25 @@ object DatasetBridge {
 }
 
 private final case class AlignedPart(index: Int) extends org.apache.spark.Partition
+
+/** Same partitions as the parent; pruned ones compute to empty without ever
+  * touching the parent iterator (the cache block is neither fetched nor
+  * decompressed, and an uncomputed partition stays uncomputed). */
+private final class PartitionPrunedRDD(
+    parent: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+    keep: Array[Boolean])
+  extends org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow](parent) {
+
+  override def getPartitions: Array[org.apache.spark.Partition] = parent.partitions
+
+  override def compute(split: org.apache.spark.Partition,
+      context: org.apache.spark.TaskContext): Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    if (keep(split.index)) firstParent[org.apache.spark.sql.catalyst.InternalRow].iterator(split, context)
+    else Iterator.empty
+
+  override def getPreferredLocations(split: org.apache.spark.Partition): Seq[String] =
+    if (keep(split.index)) parent.preferredLocations(split) else Nil
+}
 
 /** Partition-wise union of RDDs with identical partition counts (and, by the
   * caller's contract, identical partitioners): narrow dependencies only —

@@ -120,6 +120,60 @@ class PlanSpec extends SparkSuite {
       s"rank window must partition by the range bucket:\n$plan")
   }
 
+  test("pages-cache pid formula matches Spark's hash partitioning exactly") {
+    // the fetch-join bucket pruning derives a partition id as
+    // pmod(hash(canon), P); it MUST equal the id Spark's repartition
+    // actually assigned, for every row — else pruning would drop real pages
+    val spec = Fixtures.tiny
+    val prep = SparkCrawler.preparePages(SparkTestBase.pagesDf(spec), 4)
+    try {
+      prep.count()
+      val bad = prep
+        .withColumn("actual", org.apache.spark.sql.functions.spark_partition_id())
+        .withColumn("derived", pmod(hash(col("canon")), lit(4)).cast("int"))
+        .where(col("actual") =!= col("derived")).count()
+      assert(bad == 0L, "derived pid diverges from physical partition id")
+    } finally prep.unpersist()
+  }
+
+  test("pruned pages scan: exact rows, and the left fetch-join adds no pages-side exchange/sort") {
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    val spec = Fixtures.tiny
+    val prep = SparkCrawler.preparePages(SparkTestBase.pagesDf(spec), 4)
+    try {
+      prep.count()
+      val keep = Set(1, 3)
+      val pruned = DatasetBridge.prunedCacheScan(prep, keep, Seq("canon"), 4, Seq("canon"))
+      // row-exactness: pruned scan == rows whose pid is kept
+      val expect = prep.where(pmod(hash(col("canon")), lit(4)).cast("int").isin(keep.toSeq: _*))
+        .select("canon").collect().map(_.getString(0)).toSet
+      val got = pruned.select("canon").collect().map(_.getString(0)).toSet
+      assert(got == expect && got.nonEmpty)
+      // join-parity: a frontier whose canons all hash into kept buckets gets
+      // identical fetch results from the pruned side
+      val frontier = SparkCrawler.seedFrontier(spark, Fixtures.seeds(spec),
+        graft.wbot.Schemas.CrawlConfig(partitions = 4))
+        .where(pmod(hash(col("canon")), lit(4)).cast("int").isin(keep.toSeq: _*))
+      val full = frontier.join(prep.drop("hash64"), Seq("canon"), "left")
+        .select(col("canon"), col("html").isNotNull.as("hit")).collect().map(r => (r.getString(0), r.getBoolean(1))).toSet
+      val viaPruned = frontier.join(pruned.drop("hash64"), Seq("canon"), "left")
+        .select(col("canon"), col("html").isNotNull.as("hit")).collect().map(r => (r.getString(0), r.getBoolean(1))).toSet
+      assert(viaPruned == full)
+      // plan: merge-join path sorts ONLY the frontier; the pruned pages leaf
+      // is read with no exchange and no sort above it
+      val joined = frontier.hint("merge").join(pruned.drop("hash64"), Seq("canon"), "left")
+      joined.collect()
+      val plan = planOf(joined)
+      val finEnd = plan.indexOf("Initial Plan")
+      val fin = plan.substring(math.max(0, plan.indexOf("Final Plan")),
+        if (finEnd < 0) plan.length else finEnd)
+      val pagesPart = fin.substring(fin.indexOf("Scan ExistingRDD") - 400)
+      assert(fin.contains("SortMergeJoin"), s"expected sort-merge fetch join:\n$fin")
+      assert("Exchange".r.findAllIn(fin).size == 1, s"pages side re-shuffled:\n$fin")
+      assert("Sort ".r.findAllIn(fin).size == 1, s"pages side re-sorted:\n$pagesPart\n$fin")
+    } finally prep.unpersist()
+  }
+
   test("seen anti-join: aligned delta union needs NO exchange or sort on the seen side") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.DatasetBridge
