@@ -179,10 +179,23 @@ object SparkEntry {
         t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
         "doc_id", "payload")),
 
-    "q27_multimodal_decode" -> ((s, d) => { // no SQL oracle: stubbed decoder
-      Multimodal.decodeMeta(s, t(s, d, "documents")
-        .withColumn("payload", col("text").cast("binary")), "doc_id", "payload")
-        .toDF().select(col("id"), col("n_bytes"), col("magic_hex"), col("width"), col("height"))
+    "q27_multimodal_decode" -> ((s, d) => {
+      // REAL header decode, DuckDB-oracled as a round-trip: payloads with
+      // valid PNG/GIF/JPEG headers are synthesized from (doc_id, text) in
+      // pure column ops, the partition-mapped decoder recovers
+      // format/width/height from the BYTES, and the oracle replays the
+      // construction formula — any decode defect (endianness, offsets,
+      // marker scan) breaks the match. The decoder itself is additionally
+      // pinned by real-world golden byte vectors in MultimodalSpec.
+      val doc = t(s, d, "documents")
+      val w = (col("doc_id") % 900 + 100).cast("int")
+      val h = (col("doc_id") % 500 + 50).cast("int")
+      val tail = col("text").cast("binary")
+      val payload = when(col("doc_id") % 3 === 0, Multimodal.pngPayload(w, h, tail))
+        .when(col("doc_id") % 3 === 1, Multimodal.gifPayload(w, h, tail))
+        .otherwise(Multimodal.jpegPayload(w, h, tail))
+      Multimodal.decodeMeta(s, doc.withColumn("payload", payload), "doc_id", "payload")
+        .toDF().select(col("id"), col("format"), col("width"), col("height"), col("n_bytes"))
     }),
 
     "q29_priority_drain" -> ((s, d) => { // O2: depth/score priority-queue drain
@@ -583,6 +596,15 @@ object SparkEntry {
         |                            ORDER BY CAST(floor(value * 1000) AS BIGINT) DESC,
         |                                     event_id) AS rn
         |  FROM events)""".stripMargin,
+
+    "q27_multimodal_decode" ->
+      """SELECT doc_id AS id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+        |  CAST(doc_id % 900 + 100 AS INTEGER) AS width,
+        |  CAST(doc_id % 500 + 50 AS INTEGER) AS height,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 39 END
+        |       + octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
 
     "q23_multimodal_meta" ->
       """SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
  * columns with typed metadata; decode / feature-extraction runs as a
  * partition-mapped batch stage over the binary payloads.
  *
- * The actual codec is STUBBED (this container has no image/audio libraries):
- * [[fakeDecode]] is a deterministic placeholder that derives "dimensions"
- * and a tiny "feature vector" from the bytes, so the Spark-side contract —
- * schema, batch shape, partition-parallel decode, metadata projection — is
- * real and tested; swap `fakeDecode` for a real codec (e.g. a JNI/Pandas-UDF
- * decode stage) without touching the plumbing.
+ * The HEADER decode is REAL: [[decodeHeader]] parses PNG (IHDR), GIF
+ * (logical screen descriptor) and JPEG (marker scan to the SOF frame
+ * header) dimensions with pure byte arithmetic — no image library needed,
+ * pinned by golden byte vectors (MultimodalSpec) and a DuckDB round-trip
+ * oracle (SparkEntry q27). Only the FEATURE vector stays a deterministic
+ * byte-hash stand-in ([[fakeFeature]]): a real embedding model cannot exist
+ * in this container, and the Spark-side contract — schema, batch shape,
+ * partition-parallel decode — is what the plumbing pins.
  */
 object Multimodal {
 
@@ -21,20 +23,87 @@ object Multimodal {
       id: Long,
       n_bytes: Long,
       magic_hex: String, // first 4 payload bytes, hex — format sniffing
-      width: Int, height: Int, // stubbed decode output
-      feature: Array[Float]) // stubbed 8-dim feature
+      format: String, // png | gif | jpeg | unknown (header-decoded)
+      width: Int, height: Int, // real header decode; 0 when unknown
+      feature: Array[Float]) // stubbed 8-dim feature (see scaladoc)
 
-  /** Deterministic stand-in for a real decoder: dims + features from bytes. */
-  def fakeDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
+  final case class Decoded(format: String, width: Int, height: Int)
+  private val unknown = Decoded("unknown", 0, 0)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  /** PNG signature 89 50 4E 47 0D 0A 1A 0A + first chunk must be IHDR:
+    * width = bytes 16-19 (big-endian), height = 20-23. */
+  private def decodePng(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 24) return None
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { if (u8(b, i) != sig(i)) return None; i += 1 }
+    // chunk type at 12-15 must spell IHDR
+    if (u8(b, 12) != 'I' || u8(b, 13) != 'H' || u8(b, 14) != 'D' || u8(b, 15) != 'R') return None
+    Some(Decoded("png", be32(b, 16), be32(b, 20)))
+  }
+
+  /** GIF87a/GIF89a: logical screen descriptor — width LE16 @6, height @8. */
+  private def decodeGif(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 10) return None
+    val h = new String(b, 0, 6, "ISO-8859-1")
+    if (h != "GIF87a" && h != "GIF89a") return None
+    Some(Decoded("gif", le16(b, 6), le16(b, 8)))
+  }
+
+  /** JPEG: SOI (FF D8) then a marker scan — skip fill bytes and non-frame
+    * segments by their big-endian lengths until a SOF marker (C0-CF minus
+    * C4/C8/CC), whose payload is [len][precision][height BE16][width BE16]. */
+  private def decodeJpeg(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return None // desynced — not a marker
+      var j = i
+      while (j < b.length && u8(b, j) == 0xff) j += 1 // fill bytes
+      if (j >= b.length) return None
+      val m = u8(b, j)
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        if (j + 8 >= b.length) return None
+        return Some(Decoded("jpeg", be16(b, j + 6), be16(b, j + 4)))
+      } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+        i = j + 1 // standalone marker
+      } else {
+        if (j + 2 >= b.length) return None
+        i = j + 1 + be16(b, j + 1) // segment length includes itself
+      }
+    }
+    None
+  }
+
+  /** Real header decode: format + dimensions from the payload bytes. */
+  def decodeHeader(bytes: Array[Byte]): Decoded =
+    if (bytes == null) unknown
+    else decodePng(bytes)
+      .orElse(decodeGif(bytes))
+      .orElse(decodeJpeg(bytes))
+      .getOrElse(unknown)
+
+  /** Deterministic stand-in for a learned feature extractor (see scaladoc). */
+  def fakeFeature(bytes: Array[Byte]): Array[Float] = {
     val n = if (bytes == null) 0 else bytes.length
-    val magic = (if (bytes == null) Array.empty[Byte] else bytes.take(4))
-      .map(b => f"$b%02x").mkString
     var h = 1125899906842597L
     var i = 0
     while (i < n) { h = 31 * h + bytes(i); i += 1 }
-    val feat = Array.tabulate(8)(j => (((h >>> (j * 8)) & 0xff).toInt - 128) / 128.0f)
-    MediaMeta(id, n.toLong, magic, 64 + (math.abs(h) % 960).toInt,
-      64 + (math.abs(h >> 10) % 960).toInt, feat)
+    Array.tabulate(8)(j => (((h >>> (j * 8)) & 0xff).toInt - 128) / 128.0f)
+  }
+
+  def decodeOne(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = if (bytes == null) 0 else bytes.length
+    val magic = (if (bytes == null) Array.empty[Byte] else bytes.take(4))
+      .map(b => f"$b%02x").mkString
+    val d = decodeHeader(bytes)
+    MediaMeta(id, n.toLong, magic, d.format, d.width, d.height, fakeFeature(bytes))
   }
 
   /** Decode stage: partition-mapped over (id, payload) batches — the decode
@@ -43,7 +112,7 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => decodeOne(id, bytes) })
   }
 
   /** Pure-expression metadata (portable to a SQL oracle): byte length +
@@ -52,4 +121,32 @@ object Multimodal {
     df.select(col(idCol),
       length(col(binCol)).cast("long").as("n_bytes"),
       lower(hex(substring(col(binCol), 1, 4))).as("magic_hex"))
+
+  // ---- synthetic valid-header payload builders (pure column ops, so a SQL
+  // oracle can construct byte-identical payloads) ----
+
+  /** int column → 4-byte big-endian binary. */
+  def be32Col(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+  /** int column → 2-byte big-endian binary. */
+  def be16Col(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+  /** int column → 2-byte little-endian binary. */
+  def le16Col(c: Column): Column =
+    unhex(concat(lpad(hex(c % 256), 2, "0"), lpad(hex(floor(c / 256).cast("int")), 2, "0")))
+
+  /** Valid PNG header (sig + IHDR chunk with the given dims + zero CRC)
+    * followed by `tail` — 33 header bytes. */
+  def pngPayload(w: Column, h: Column, tail: Column): Column =
+    concat(unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+      be32Col(w), be32Col(h), unhex(lit("0806000000" + "00000000")), tail)
+
+  /** Valid GIF89a header (logical screen descriptor) + tail — 13 bytes. */
+  def gifPayload(w: Column, h: Column, tail: Column): Column =
+    concat(unhex(lit("474946383961")), le16Col(w), le16Col(h),
+      unhex(lit("F70000")), tail)
+
+  /** Valid JPEG SOI + APP0(JFIF) + SOF0 header + tail — 39 bytes. The SOF0
+    * is NOT the first segment, so the decoder's marker scan is exercised. */
+  def jpegPayload(w: Column, h: Column, tail: Column): Column =
+    concat(unhex(lit("FFD8" + "FFE000104A46494600010100000100010000" + "FFC00011" + "08")),
+      be16Col(h), be16Col(w), unhex(lit("03012200021101031101")), tail)
 }

@@ -189,12 +189,12 @@ object BloomSeen {
       case None => df.withColumn("__might", lit(false))
       case Some(_) if totalBytes <= broadcastMaxBytes =>
         val b = segB.getOrElse(sys.error("broadcast segment cache not populated"))
-        val pp = p
-        val might = udf((h64: Long) => {
-          val seg = b.value(Math.floorMod(h64, pp.toLong).toInt)
-          seg != null && mightContain(seg, h64)
-        })
-        df.withColumn("__might", might(hash64Col))
+        // codegen'd native probe (no scala UDF on the candidate hot path —
+        // the projection stays inside whole-stage codegen)
+        df.withColumn("__might",
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            exprs.BloomMightContain(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(hash64Col), b, p)))
       case Some(s) =>
         import spark.implicits._
         import org.apache.spark.sql.Row

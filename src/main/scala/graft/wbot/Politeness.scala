@@ -33,17 +33,26 @@ object Politeness {
   private def drainOrder: Seq[org.apache.spark.sql.Column] =
     Seq(col("depth").asc, col("score").desc, col("seq").asc)
 
-  /** Adds `interval` (int, 0-based rate slot within this depth). */
-  def assignIntervals(frontier: DataFrame, cfg: Schemas.CrawlConfig, salted: Boolean): DataFrame = {
+  /** Adds `interval` (int, 0-based rate slot within this depth).
+    *
+    * `saltFanout` (salted mode): how many salt shards split each host's
+    * window. The crawl loop derives it per superstep from the OBSERVED skew
+    * (previous superstep's interval span ≈ max-host rows / budget), so
+    * uniform frontiers pay s = 1 — no offsets-row inflation — and only a
+    * genuinely skewed host fans out. Any s ≥ 1 yields the same per-interval
+    * budgets (schedule-equivalent; the budget property holds by
+    * construction), so the choice is purely a balance knob. */
+  def assignIntervals(frontier: DataFrame, cfg: Schemas.CrawlConfig, salted: Boolean,
+      saltFanout: Int = 16): DataFrame = {
     val budget = Udfs.budgetCol(cfg, col("root"))
-    if (!salted) {
+    if (!salted || saltFanout <= 1) {
       val w = Window.partitionBy(col("root")).orderBy(drainOrder: _*)
       frontier
         .withColumn("__rn", row_number().over(w))
         .withColumn("interval", floor((col("__rn") - 1) / budget).cast("int"))
         .drop("__rn")
     } else {
-      val s = 16 // salt fan-out
+      val s = saltFanout
       val salted0 = frontier.withColumn("__salt", pmod(col("hash64"), lit(s)).cast("int"))
       // per-(root,salt) counts → cumulative offset of earlier salts (tiny)
       val offsets = salted0.groupBy(col("root"), col("__salt")).count()

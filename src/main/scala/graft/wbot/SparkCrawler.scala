@@ -208,10 +208,15 @@ object SparkCrawler {
     * analogue of appending to a bucketed seen table — SURVEY §1.1/§4.3),
     * where the unaligned design re-shuffled the FULL seen set every
     * superstep: O(seen) per superstep, quadratic cumulative. */
+  /** Estimated unsafe-row bytes of a (hash, hash64) seen row — feeds the
+    * leaf stats so a small seen side stays broadcastable. */
+  private val seenRowBytes = 100L
+
   private def alignDelta(delta: DataFrame, p: Int): DataFrame = {
     val parted = delta.repartition(p, col("hash")).persist(bulkLevel)
-    parted.count()
-    org.apache.spark.sql.graftbridge.DatasetBridge.lineageCutPartitioned(parted, Seq("hash"), p)
+    val n = parted.count()
+    org.apache.spark.sql.graftbridge.DatasetBridge.lineageCutPartitioned(
+      parted, Seq("hash"), p, Some((n, math.max(1L, n * seenRowBytes))))
   }
 
   private def crawlLoop(spark: SparkSession, pagesPrep: DataFrame, cfg: CrawlConfig,
@@ -222,19 +227,25 @@ object SparkCrawler {
     // width so the anti-join's candidate side (the first-occurrence window's
     // shuffle) and the seen side line up with no extra exchange
     val alignP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // attribution toggles (bench bisection; engine defaults are the fast path)
+    val alignSeen = !sys.env.get("SPARK_GRAFT_NO_SEEN_ALIGN").contains("1")
+    val pruneFetch = !sys.env.get("SPARK_GRAFT_NO_PRUNE").contains("1")
     val seenDeltas = mutable.ArrayBuffer.empty[DataFrame]
     if (st0.seen != null && st0.metrics.getOrElse("crawled_link", 0L) > 0L) {
-      seenDeltas += alignDelta(st0.seen.select(col("hash"), col("hash64")), alignP)
-      st0.seen.unpersist() // the aligned copy supersedes the resume-loaded cache
+      if (alignSeen) {
+        seenDeltas += alignDelta(st0.seen.select(col("hash"), col("hash64")), alignP)
+        st0.seen.unpersist() // the aligned copy supersedes the resume-loaded cache
+      } else seenDeltas += st0.seen.select(col("hash"), col("hash64"))
     }
     def emptySeen: DataFrame = spark.emptyDataset[(String, Long)].toDF("hash", "hash64")
     def seen: DataFrame = seenDeltas.reduceOption(_ unionByName _).getOrElse(emptySeen)
     // the anti-join view: partition-wise union of the aligned deltas — ONE
     // leaf with the hash partitioning still visible to Catalyst
-    def seenForJoin: DataFrame =
+    def seenForJoin(totalRows: Long): DataFrame =
       if (seenDeltas.isEmpty) emptySeen
       else org.apache.spark.sql.graftbridge.DatasetBridge
-        .alignedUnion(seenDeltas.toSeq, Seq("hash"), alignP)
+        .alignedUnion(seenDeltas.toSeq, Seq("hash"), alignP,
+          Some((totalRows, math.max(1L, totalRows * seenRowBytes))))
     val bloom = st0.bloom
     val m = st0.metrics
     var seqBase = st0.seqBase
@@ -248,6 +259,13 @@ object SparkCrawler {
     // cfg.partitions when the prep came from this config; derived from the
     // actual layout so externally-prepared snapshots are safe)
     val pagesP = pagesPrep.rdd.getNumPartitions
+
+    // the NEXT frontier's distinct pages-cache bucket ids, harvested for
+    // free from the rank job's map stage (an observation) — so shallow
+    // supersteps prune the fetch join without a dedicated driver round-trip
+    var nextPids: Set[Int] = null
+    // a bucket store doubling as an (un-aligned) seen delta — never unpersist
+    var protectedStore: DataFrame = null
 
     var d = st0.startDepth
     var stepsRun = 0
@@ -287,7 +305,9 @@ object SparkCrawler {
         m("failed_requests") += frontierSize - fetched
         val oldFrontier = frontier
         frontier = spark.emptyDataset[FrontierRow].toDF
-        if (frontierRaw != null) frontierRaw.unpersist() // terminal count done
+        // terminal count done (unless the store doubles as a seen delta)
+        if (alignSeen && frontierRaw != null && (frontierRaw ne protectedStore))
+          frontierRaw.unpersist()
         frontierRaw = null
         oldFrontier.unpersist()
         storage.foreach { s =>
@@ -319,7 +339,25 @@ object SparkCrawler {
       // drains (whose per-slot unions are expensive to recompute).
       val ivObs = new org.apache.spark.sql.Observation(s"iv_d${d}_s$stepsRun")
       val cacheScheduled = cfg.strictPoliteness || cfg.recordStreams
-      val scheduled0 = Politeness.assignIntervals(frontier, cfg, saltedPoliteness)
+      // adaptive salt fan-out from OBSERVED skew (verdict round-3 #8): the
+      // previous superstep's interval span bounds the max-host share —
+      // est. max-host rows ≈ prevIntervals × budget, scaled to this
+      // frontier. s is sized so the biggest (host, salt) window partition
+      // is ~one balanced share; uniform hosts get s = 1 (no 16× offsets-row
+      // inflation), true skew fans out. First superstep: no evidence yet →
+      // conservative 16 (tiny frontier, cost irrelevant).
+      val saltFanout: Int = steps.lastOption match {
+        case Some(prev) if prev.frontierSize > 0 && prev.intervals > 0 =>
+          val maxBudget =
+            if (cfg.rateLimits.isEmpty) 10 else cfg.rateLimits.values.map(_.n).max
+          val estMaxHost =
+            prev.intervals.toLong * maxBudget * frontierSize / prev.frontierSize
+          val balancedShare = math.max(1L, frontierSize / alignP)
+          math.max(1, math.min(16,
+            math.ceil(estMaxHost.toDouble / balancedShare).toInt))
+        case _ => 16
+      }
+      val scheduled0 = Politeness.assignIntervals(frontier, cfg, saltedPoliteness, saltFanout)
       val scheduled = {
         val s = if (cfg.strictPoliteness) scheduled0
           else scheduled0.observe(ivObs, max(col("interval")).as("max_iv"))
@@ -345,16 +383,23 @@ object SparkCrawler {
       // not O(corpus). Only worthwhile while the frontier can miss buckets:
       // past ~4·P random keys expected coverage is ≈ 98%, so skip the probe.
       val pagesSide: DataFrame =
-        if (frontierSize < 4L * pagesP) {
-          val src = if (frontierRaw != null) frontierRaw else frontier
-          val pids = src
-            .select(pmod(hash(col("canon")), lit(pagesP)).cast("int").as("__p"))
-            .distinct().collect().map(_.getInt(0)).toSet
+        if (pruneFetch && frontierSize < 4L * pagesP) {
+          // pid set from the previous rank job's observation when available
+          // (zero extra jobs); else one tiny distinct-collect over the
+          // cached frontier (seeds, resume)
+          val pids =
+            if (nextPids != null) nextPids
+            else {
+              val src = if (frontierRaw != null) frontierRaw else frontier
+              src.select(pmod(hash(col("canon")), lit(pagesP)).cast("int").as("__p"))
+                .distinct().collect().map(_.getInt(0)).toSet
+            }
           if (pids.size < pagesP)
             org.apache.spark.sql.graftbridge.DatasetBridge.prunedCacheScan(
               pagesPrep, pids, Seq("canon"), pagesP, Seq("canon"))
           else pagesPrep
         } else pagesPrep
+      nextPids = null // consumed (applies to THIS frontier only)
 
       // S2: the fetch = left join against the pages snapshot on canonical key.
       // strictPoliteness physically drains one rate interval at a time
@@ -489,10 +534,24 @@ object SparkCrawler {
         // reuses the first-occurrence window's hash partitioning. AQE's
         // compressed-size broadcast estimates (the round-3 OOM) never see an
         // exchange to convert.
-        val seenHinted = {
-          val s0 = seenForJoin.select("hash")
-          if (seenTotal <= 200000L) s0 else s0.hint("shuffle_hash")
-        }
+        val seenHinted =
+          if (alignSeen) {
+            // small seen: a PLAIN union of the (stats-bearing) aligned
+            // leaves — broadcastable, and crucially NOT a fixed-P sibling,
+            // so AQE stays free to coalesce the shallow supersteps' tiny
+            // candidate stages (a fixed-partition leaf next to the join
+            // pins the probe side to full width — measured on the deep
+            // bench's d0-d3 floor). large seen: the partition-aligned
+            // union leaf + shuffled-hash build — zero exchange, zero sort
+            // on the seen side.
+            if (seenTotal <= 200000L)
+              seenDeltas.map(_.select("hash")).reduceOption(_ unionByName _)
+                .getOrElse(emptySeen.select("hash"))
+            else seenForJoin(seenTotal).select("hash").hint("shuffle_hash")
+          } else { // bisection fallback: round-3 shape (full seen re-shuffle)
+            if (seenTotal <= 200000L) seen.select("hash")
+            else seen.select("hash").hint("merge")
+          }
         var markedCache: DataFrame = null
         val fresh0 =
           if (bloomActive) {
@@ -532,9 +591,19 @@ object SparkCrawler {
         // re-sorts the (materialized, bucketed) blocks on each downstream
         // scan instead of paying a second materialization job per superstep,
         // and the seen delta is a plain projection (no window at all).
-        val rank = Ranks.denseRangeRank(fresh0, col("parent_seq"),
+        // ride the rank job's map stage: the fresh set's distinct pages-
+        // cache bucket ids (≤ pagesP ints) — next superstep's prune set
+        val pidObs = new org.apache.spark.sql.Observation(s"pids_d${d}_s$stepsRun")
+        val fresh0Obs = fresh0.observe(pidObs,
+          collect_set(pmod(hash(col("canon")), lit(pagesP)).cast("int")).as("pids"))
+        val rank = Ranks.denseRangeRank(fresh0Obs, col("parent_seq"),
           seqBase - frontierSize, seqBase, Seq(col("link_pos")), "__rank", cfg.partitions)
         freshCount = rank.total
+        nextPids = {
+          val m0 = pidObs.get // already fired (the rank's counts job ran)
+          if (m0.isEmpty) null
+          else Option(m0("pids")).map(_.asInstanceOf[Seq[Int]].toSet).orNull
+        }
         // the rank's bucket store is materialized (its counts pass just ran):
         // the cogroup probe cache has served its purpose — release the blocks
         if (markedCache != null) { markedCache.unpersist(); markedCache = null }
@@ -575,8 +644,20 @@ object SparkCrawler {
         // shuffle on the seen side. On a real cluster this is an append to
         // the bucketed seen table (Storage writes exactly these aligned
         // deltas when a checkpointDir is configured).
-        alignFut = scala.concurrent.Future(
-          alignDelta(rank.cached.select(col("hash"), col("hash64")), alignP))(sideEc)
+        // the LAST expansion's delta has no anti-join consumer (the next
+        // superstep only fetches — Q5) — skip its alignment, the single
+        // biggest delta of a geometric crawl, and let the delta view ride
+        // the bucket store (kept cached for CrawlRun.seen / commit)
+        val lastExpansion = d + 1 >= cfg.maxDepth
+        if (alignSeen && !lastExpansion)
+          alignFut = scala.concurrent.Future(
+            alignDelta(rank.cached.select(col("hash"), col("hash64")), alignP))(sideEc)
+        else {
+          val d0 = rank.cached.select(col("hash"), col("hash64"))
+          seenDeltas += d0
+          seenDelta = Some(d0)
+          protectedStore = rank.cached
+        }
         if (bloom != null) {
           // segment merge is independent of the order-stream checkpoint and
           // the snapshot commit — run it concurrently, await before the next
@@ -673,7 +754,9 @@ object SparkCrawler {
       // the seen delta no longer aliases it (hash-aligned copy) — release.
       // Before the alignment, deltas pinned every store for the crawl's
       // lifetime: Σ O(full frontier rows) off-heap, vs Σ O(hash rows) now.
-      if (consumedStore != null && (consumedStore ne frontierRaw)) consumedStore.unpersist()
+      if (alignSeen && consumedStore != null && (consumedStore ne frontierRaw) &&
+          (consumedStore ne protectedStore))
+        consumedStore.unpersist()
 
       frontierSize = if (d < cfg.maxDepth) freshCount else 0L
       d += 1

@@ -37,8 +37,11 @@ object DatasetBridge {
     * The CALLER asserts the data really is laid out that way (i.e. this df
     * is exactly a `repartition(numPartitions, keyCols)` output); the only
     * machine-checkable part — the partition count — is required here. */
+  /** @param sizeHint (rowCount, sizeInBytes) when known — WITHOUT stats the
+    *   leaf reports the session default size (effectively infinite), so a
+    *   genuinely small side would never be broadcast by the planner. */
   def lineageCutPartitioned(df: DataFrame, keyCols: Seq[String],
-      numPartitions: Int): DataFrame = {
+      numPartitions: Int, sizeHint: Option[(Long, Long)] = None): DataFrame = {
     val cdf = df.asInstanceOf[classic.Dataset[Row]]
     val rdd = cdf.queryExecution.toRdd
     require(rdd.getNumPartitions == numPartitions,
@@ -47,9 +50,13 @@ object DatasetBridge {
     val attrs = keyCols.map(k => output.find(_.name == k).getOrElse(
       sys.error(s"partition key $k not in output ${output.map(_.name)}")))
     val part = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(attrs, numPartitions)
+    val stats = sizeHint.map { case (rows, bytes) =>
+      org.apache.spark.sql.catalyst.plans.logical.Statistics(
+        sizeInBytes = BigInt(bytes), rowCount = Some(BigInt(rows)))
+    }
     classic.Dataset.ofRows(cdf.sparkSession,
       execution.LogicalRDD(output, rdd, part, Nil, isStreaming = false)(
-        cdf.sparkSession, None, None))
+        cdf.sparkSession, stats, None))
   }
 
   /** Partition-pruned scan of a hash-partitioned (cached) DataFrame: keeps
@@ -116,7 +123,7 @@ object DatasetBridge {
     * contract — this bridge only asserts count equality). Ordering is NOT
     * preserved (concatenated sorted runs are not sorted). */
   def alignedUnion(parts: Seq[DataFrame], keyCols: Seq[String],
-      numPartitions: Int): DataFrame = {
+      numPartitions: Int, sizeHint: Option[(Long, Long)] = None): DataFrame = {
     require(parts.nonEmpty, "alignedUnion of nothing")
     if (parts.size == 1) return parts.head
     val cparts = parts.map(_.asInstanceOf[classic.Dataset[Row]])
@@ -130,9 +137,13 @@ object DatasetBridge {
     val attrs = keyCols.map(k => output.find(_.name == k).getOrElse(
       sys.error(s"partition key $k not in output ${output.map(_.name)}")))
     val part = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(attrs, numPartitions)
+    val stats = sizeHint.map { case (rows, bytes) =>
+      org.apache.spark.sql.catalyst.plans.logical.Statistics(
+        sizeInBytes = BigInt(bytes), rowCount = Some(BigInt(rows)))
+    }
     classic.Dataset.ofRows(head.sparkSession,
       execution.LogicalRDD(output, union, part, Nil, isStreaming = false)(
-        head.sparkSession, None, None))
+        head.sparkSession, stats, None))
   }
 }
 
