@@ -181,7 +181,7 @@ object SparkCrawler {
     val seen = st.readSeen(spark, snap.lastStep)
       .getOrElse {
         import spark.implicits._
-        spark.emptyDataset[(String, Long)].toDF("hash", "hash64")
+        spark.emptyDataset[(String, String, Long)].toDF("canon", "hash", "hash64")
       }.persist(StorageLevel.MEMORY_AND_DISK)
     val bloom = newBloom(spark, cfg)
     if (bloom != null && !seen.isEmpty)
@@ -208,15 +208,31 @@ object SparkCrawler {
     * analogue of appending to a bucketed seen table — SURVEY §1.1/§4.3),
     * where the unaligned design re-shuffled the FULL seen set every
     * superstep: O(seen) per superstep, quadratic cumulative. */
-  /** Estimated unsafe-row bytes of a (hash, hash64) seen row — feeds the
-    * leaf stats so a small seen side stays broadcastable. */
-  private val seenRowBytes = 100L
+  /** Estimated unsafe-row bytes of a (canon, hash, hash64) seen row — feeds
+    * the leaf stats so a small seen side stays broadcastable. */
+  private val seenRowBytes = 160L
 
+  /** Seen-set size (rows) below which the anti-join's seen side broadcasts —
+    * also the bound below which per-superstep delta ALIGNMENT is deferred
+    * (a broadcast side needs no layout, so tiny supersteps skip the
+    * alignP-wide side job entirely; the accumulated smalls are folded into
+    * one aligned store the first time the bound is crossed). */
+  private val smallSeenBound = 200000L
+
+  /** The seen set is keyed by CANON, not by the sha-256 `hash`: hash is a
+    * deterministic function of canon (`UrlFuncs.sha256hex(canon)` ≡
+    * `sha2(canon, 256)`), so grouping by canon is dedup-equivalent while the
+    * 64-char hex hash — incompressible, ~30% of the candidate shuffle's wire
+    * bytes — stays OUT of the per-superstep window shuffle and is recomputed
+    * by a codegen'd `sha2` on the (much smaller) post-dedup fresh set. The
+    * one formal divergence from the reference's hash-keyed store — two
+    * DISTINCT canons sharing a sha-256 digest would dedup there and not here
+    * — requires a sha-256 collision. */
   private def alignDelta(delta: DataFrame, p: Int): DataFrame = {
-    val parted = delta.repartition(p, col("hash")).persist(bulkLevel)
+    val parted = delta.repartition(p, col("canon")).persist(bulkLevel)
     val n = parted.count()
     org.apache.spark.sql.graftbridge.DatasetBridge.lineageCutPartitioned(
-      parted, Seq("hash"), p, Some((n, math.max(1L, n * seenRowBytes))))
+      parted, Seq("canon"), p, Some((n, math.max(1L, n * seenRowBytes))))
   }
 
   private def crawlLoop(spark: SparkSession, pagesPrep: DataFrame, cfg: CrawlConfig,
@@ -230,21 +246,41 @@ object SparkCrawler {
     // attribution toggles (bench bisection; engine defaults are the fast path)
     val alignSeen = !sys.env.get("SPARK_GRAFT_NO_SEEN_ALIGN").contains("1")
     val pruneFetch = !sys.env.get("SPARK_GRAFT_NO_PRUNE").contains("1")
+    // ALIGNED deltas (canon-hash-partitioned at alignP — the aligned-union
+    // view's inputs) and DEFERRED small deltas (unaligned stats-bearing
+    // leaves over tiny persisted projections: while the accumulated seen set
+    // fits the broadcast bound nothing needs a layout, so shallow supersteps
+    // skip the alignP-wide alignment side job — the round-4 d0–d2 floor paid
+    // one 160-task job per tiny superstep for a layout no join ever used)
     val seenDeltas = mutable.ArrayBuffer.empty[DataFrame]
+    val smallDeltas = mutable.ArrayBuffer.empty[DataFrame]
+    val smallCaches = mutable.ArrayBuffer.empty[DataFrame]
     if (st0.seen != null && st0.metrics.getOrElse("crawled_link", 0L) > 0L) {
+      require(st0.seen.columns.contains("canon"),
+        "seen snapshot predates the canon-keyed format (pre-round-5); cannot resume")
+      val loaded = st0.seen.select(col("canon"), col("hash"), col("hash64"))
       if (alignSeen) {
-        seenDeltas += alignDelta(st0.seen.select(col("hash"), col("hash64")), alignP)
-        st0.seen.unpersist() // the aligned copy supersedes the resume-loaded cache
-      } else seenDeltas += st0.seen.select(col("hash"), col("hash64"))
+        if (st0.metrics("crawled_link") > smallSeenBound) {
+          seenDeltas += alignDelta(loaded, alignP)
+          st0.seen.unpersist() // the aligned copy supersedes the resume-loaded cache
+        } else {
+          smallDeltas += loaded // parquet/cache stats make it broadcastable as-is
+          smallCaches += st0.seen
+        }
+      } else seenDeltas += loaded
     }
-    def emptySeen: DataFrame = spark.emptyDataset[(String, Long)].toDF("hash", "hash64")
-    def seen: DataFrame = seenDeltas.reduceOption(_ unionByName _).getOrElse(emptySeen)
-    // the anti-join view: partition-wise union of the aligned deltas — ONE
-    // leaf with the hash partitioning still visible to Catalyst
+    def emptySeen: DataFrame =
+      spark.emptyDataset[(String, String, Long)].toDF("canon", "hash", "hash64")
+    def seen: DataFrame =
+      (seenDeltas ++ smallDeltas).reduceOption(_ unionByName _).getOrElse(emptySeen)
+    // the anti-join view past the broadcast bound: partition-wise union of
+    // the aligned deltas — ONE leaf with the canon partitioning still
+    // visible to Catalyst. Invariant: when seenTotal > smallSeenBound every
+    // delta is aligned (smalls are folded at the crossing superstep).
     def seenForJoin(totalRows: Long): DataFrame =
       if (seenDeltas.isEmpty) emptySeen
       else org.apache.spark.sql.graftbridge.DatasetBridge
-        .alignedUnion(seenDeltas.toSeq, Seq("hash"), alignP,
+        .alignedUnion(seenDeltas.toSeq, Seq("canon"), alignP,
           Some((totalRows, math.max(1L, totalRows * seenRowBytes))))
     val bloom = st0.bloom
     val m = st0.metrics
@@ -498,12 +534,17 @@ object SparkCrawler {
         // map stage (downstream branches re-read shuffle/cached output, never
         // this node) — accumulator-exact, zero extra jobs.
         val candObs = new org.apache.spark.sql.Observation(s"cand_d${d}_s$stepsRun")
+        // NOTE the sha-256 `hash` column is NOT selected: it is a pure
+        // function of canon, and at 26.8M candidate rows its 64 hex chars
+        // are ~30% of the window shuffle's (incompressible) wire bytes —
+        // the round-4 profile's remote-read CPU term. It is recomputed by a
+        // codegen'd sha2 over the post-dedup fresh set below.
         val cands = exploded
           .withColumn("cand", Udfs.resolveCandidate(col("parent_url"), col("href")))
           .where(col("cand").isNotNull)
           .select(col("parent_seq"), col("link_pos"), col("ua"), col("proxy"), col("parent_root"),
             col("cand.url").as("url"), col("cand.canon").as("canon"),
-            col("cand.hash").as("hash"), col("cand.host").as("host"),
+            col("cand.host").as("host"),
             col("cand.hostname").as("hostname"),
             col("cand.root").as("root"), col("cand.path").as("path"))
           .withColumn("hash64", xxhash64(col("canon")))
@@ -516,7 +557,9 @@ object SparkCrawler {
         // NOT persisted: the two Bloom legs below read it through the window's
         // shuffle, which Catalyst reuses (one shuffle write, two sorted reads)
         // — spill-safe at any candidate volume, unlike a 26.8M-row cache.
-        val w = Window.partitionBy(col("hash")).orderBy(col("parent_seq"), col("link_pos"))
+        // Keyed by canon (dedup-equivalent to the reference's hash key —
+        // see alignDelta's scaladoc).
+        val w = Window.partitionBy(col("canon")).orderBy(col("parent_seq"), col("link_pos"))
         val firsts = passed.withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn")
 
@@ -536,24 +579,25 @@ object SparkCrawler {
         // exchange to convert.
         val seenHinted =
           if (alignSeen) {
-            // small seen: a PLAIN union of the (stats-bearing) aligned
-            // leaves — broadcastable, and crucially NOT a fixed-P sibling,
-            // so AQE stays free to coalesce the shallow supersteps' tiny
-            // candidate stages (a fixed-partition leaf next to the join
-            // pins the probe side to full width — measured on the deep
-            // bench's d0-d3 floor). large seen: the partition-aligned
-            // union leaf + shuffled-hash build — zero exchange, zero sort
-            // on the seen side.
-            if (seenTotal <= 200000L)
-              seenDeltas.map(_.select("hash")).reduceOption(_ unionByName _)
-                .getOrElse(emptySeen.select("hash"))
-            else seenForJoin(seenTotal).select("hash").hint("shuffle_hash")
+            // small seen: a PLAIN union of the (stats-bearing) delta leaves
+            // — broadcastable, and crucially NOT a fixed-P sibling, so AQE
+            // stays free to coalesce the shallow supersteps' tiny candidate
+            // stages (a fixed-partition leaf next to the join pins the
+            // probe side to full width — measured on the deep bench's
+            // d0-d3 floor). large seen: the partition-aligned union leaf +
+            // shuffled-hash build — zero exchange, zero sort on the seen
+            // side.
+            if (seenTotal <= smallSeenBound)
+              (seenDeltas ++ smallDeltas).map(_.select("canon"))
+                .reduceOption(_ unionByName _)
+                .getOrElse(emptySeen.select("canon"))
+            else seenForJoin(seenTotal).select("canon").hint("shuffle_hash")
           } else { // bisection fallback: round-3 shape (full seen re-shuffle)
-            if (seenTotal <= 200000L) seen.select("hash")
-            else seen.select("hash").hint("merge")
+            if (seenTotal <= smallSeenBound) seen.select("canon")
+            else seen.select("canon").hint("merge")
           }
         var markedCache: DataFrame = null
-        val fresh0 =
+        val fresh0pre =
           if (bloomActive) {
             // broadcast probe: a codegen'd map over the reused window shuffle
             // — running it once per leg is cheaper than materializing the
@@ -575,9 +619,13 @@ object SparkCrawler {
             } else marked0
             val sure = marked.where(!col("__might")).drop("__might")
             val suspect = marked.where(col("__might")).drop("__might")
-              .join(seenHinted, Seq("hash"), "left_anti")
+              .join(seenHinted, Seq("canon"), "left_anti")
             sure.unionByName(suspect)
-          } else firsts.join(seenHinted, Seq("hash"), "left_anti")
+          } else firsts.join(seenHinted, Seq("canon"), "left_anti")
+        // the sha-256 identity (F3) is recomputed HERE, post-dedup, by the
+        // codegen'd sha2 — byte-identical to UrlFuncs.sha256hex (pinned by
+        // UrlExprSpec) — so only fresh-set rows pay the 64-char column
+        val fresh0 = fresh0pre.withColumn("hash", sha2(col("canon"), 256))
 
         // O1: reify FIFO order — ONE action for the whole superstep. Parent
         // seqs are dense in [seqBase − frontierSize, seqBase) by construction,
@@ -596,8 +644,23 @@ object SparkCrawler {
         val pidObs = new org.apache.spark.sql.Observation(s"pids_d${d}_s$stepsRun")
         val fresh0Obs = fresh0.observe(pidObs,
           collect_set(pmod(hash(col("canon")), lit(pagesP)).cast("int")).as("pids"))
+        // rank width sized from the EXPECTED candidate volume (previous
+        // superstep's observed fan-out, default 16), not pinned to the full
+        // cfg.partitions: a 200-row seed superstep ranks through 1 bucket
+        // task instead of 160 — repartition(n, col) is a fixed-width
+        // exchange AQE cannot coalesce, and those empty task launches were
+        // the round-4 d0–d2 floor's biggest fixed term. Only a balance
+        // knob: denseRangeRank's offsets are exact at any width, and an
+        // underestimate merely means fuller (spill-safe) buckets.
+        val fanoutEst = steps.lastOption match {
+          case Some(p) if p.frontierSize > 0 && p.candidates > 0 =>
+            math.max(1.0, p.candidates.toDouble / p.frontierSize)
+          case _ => 16.0
+        }
+        val rankP = math.max(1, math.min(cfg.partitions,
+          (frontierSize * fanoutEst / 25000.0).toInt + 1))
         val rank = Ranks.denseRangeRank(fresh0Obs, col("parent_seq"),
-          seqBase - frontierSize, seqBase, Seq(col("link_pos")), "__rank", cfg.partitions)
+          seqBase - frontierSize, seqBase, Seq(col("link_pos")), "__rank", rankP)
         freshCount = rank.total
         nextPids = {
           val m0 = pidObs.get // already fired (the rank's counts job ran)
@@ -638,22 +701,47 @@ object SparkCrawler {
         m("crawled_link") += freshCount
         seqBase += freshCount
 
-        // the seen set is a LIST of hash-aligned materialized deltas: the
+        // the seen set is a LIST of canon-aligned materialized deltas: the
         // alignment costs one O(fresh) repartition per superstep (concurrent
         // side job), and every later anti-join reads the union with zero
         // shuffle on the seen side. On a real cluster this is an append to
         // the bucketed seen table (Storage writes exactly these aligned
         // deltas when a checkpointDir is configured).
-        // the LAST expansion's delta has no anti-join consumer (the next
-        // superstep only fetches — Q5) — skip its alignment, the single
-        // biggest delta of a geometric crawl, and let the delta view ride
-        // the bucket store (kept cached for CrawlRun.seen / commit)
+        // Three exemptions from per-superstep alignment:
+        //  - the LAST expansion's delta has no anti-join consumer (the next
+        //    superstep only fetches — Q5): skip entirely, the single biggest
+        //    delta of a geometric crawl rides the bucket store;
+        //  - while the accumulated seen fits the broadcast bound, the delta
+        //    stays a DEFERRED small leaf (tiny persisted projection, no side
+        //    job, no alignP-wide stage — the next anti-join broadcasts it);
+        //  - the superstep that CROSSES the bound folds every deferred small
+        //    plus its own delta into one aligned store (one O(bound) job).
         val lastExpansion = d + 1 >= cfg.maxDepth
-        if (alignSeen && !lastExpansion)
-          alignFut = scala.concurrent.Future(
-            alignDelta(rank.cached.select(col("hash"), col("hash64")), alignP))(sideEc)
-        else {
-          val d0 = rank.cached.select(col("hash"), col("hash64"))
+        if (alignSeen && !lastExpansion) {
+          val freshDelta = rank.cached.select(col("canon"), col("hash"), col("hash64"))
+          if (seenTotal + freshCount > smallSeenBound) {
+            val toFold = smallDeltas.toVector
+            val toRelease = smallCaches.toVector
+            smallDeltas.clear(); smallCaches.clear()
+            // the COMMITTED delta stays this superstep's fresh keys only
+            // (the folded smalls were committed by their own supersteps)
+            seenDelta = Some(freshDelta)
+            alignFut = scala.concurrent.Future {
+              val aligned = alignDelta(
+                (toFold :+ freshDelta).reduce(_ unionByName _), alignP)
+              toRelease.foreach(_.unpersist())
+              aligned
+            }(sideEc)
+          } else {
+            val cache = freshDelta.persist(bulkLevel)
+            val leaf = org.apache.spark.sql.graftbridge.DatasetBridge.lineageCut(
+              cache, Some((freshCount, math.max(1L, freshCount * seenRowBytes))))
+            smallDeltas += leaf
+            smallCaches += cache
+            seenDelta = Some(leaf)
+          }
+        } else {
+          val d0 = rank.cached.select(col("canon"), col("hash"), col("hash64"))
           seenDeltas += d0
           seenDelta = Some(d0)
           protectedStore = rank.cached
@@ -726,7 +814,6 @@ object SparkCrawler {
         val aligned = scala.concurrent.Await.result(alignFut,
           scala.concurrent.duration.Duration.Inf)
         seenDeltas += aligned
-        seenDelta = Some(aligned)
         alignFut = null
       }
       // atomic superstep commit: frontier, seen delta, crawled delta,

@@ -21,9 +21,27 @@ import org.apache.spark.sql.execution
   * physical plan instead of failing the job.
   */
 object DatasetBridge {
-  def lineageCut(df: DataFrame): DataFrame = {
+  /** @param sizeHint (rowCount, sizeInBytes) when known: without stats the
+    *   cut leaf reports the session default size (effectively infinite), so a
+    *   genuinely small side would never broadcast (the round-4 lost-pair
+    *   lesson). Partitioning is NOT declared here — use
+    *   [[lineageCutPartitioned]] when the layout matters. */
+  def lineageCut(df: DataFrame, sizeHint: Option[(Long, Long)] = None): DataFrame = {
     val cdf = df.asInstanceOf[classic.Dataset[Row]]
-    cdf.sparkSession.internalCreateDataFrame(cdf.queryExecution.toRdd, cdf.schema)
+    sizeHint match {
+      case None =>
+        cdf.sparkSession.internalCreateDataFrame(cdf.queryExecution.toRdd, cdf.schema)
+      case Some((rows, bytes)) =>
+        val rdd = cdf.queryExecution.toRdd
+        val output = cdf.queryExecution.analyzed.output
+        val stats = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+          sizeInBytes = BigInt(bytes), rowCount = Some(BigInt(rows)))
+        classic.Dataset.ofRows(cdf.sparkSession,
+          execution.LogicalRDD(output, rdd,
+            org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(
+              rdd.getNumPartitions),
+            Nil, isStreaming = false)(cdf.sparkSession, Some(stats), None))
+    }
   }
 
   /** As [[lineageCut]] but DECLARING the leaf's hash partitioning: a cut

@@ -42,4 +42,21 @@ class UrlExprSpec extends SparkSuite {
     assert(r.getString(0) == "a.com/p")
     assert(r.getString(1) == "b.net")
   }
+
+  test("sha2(canon, 256) ≡ UrlFuncs.sha256hex — the engine's post-dedup hash recompute") {
+    // SparkCrawler no longer ships the 64-char sha through the candidate
+    // shuffle: the F3 identity is recomputed by the built-in sha2 on the
+    // fresh set, which must be byte-identical to the UDF-side sha256hex
+    val sp = spark
+    import sp.implicits._
+    val canons = Fixtures.allPages(Fixtures.tiny).map(_.url)
+      .flatMap(u => graft.wbot.UrlFuncs.newUrl(u).toOption.map(_.canon)) ++
+      Seq("", "a", "héllo/wörld", "a.com/p?q=1&r=2", "x" * 300)
+    val got = canons.toDF("canon").repartition(3)
+      .select(col("canon"), sha2(col("canon"), 256).as("h")).collect()
+    got.foreach { r =>
+      assert(r.getString(1) == graft.wbot.UrlFuncs.sha256hex(r.getString(0)),
+        s"sha2 diverges from sha256hex on '${r.getString(0)}'")
+    }
+  }
 }
