@@ -534,11 +534,6 @@ object SparkCrawler {
         // map stage (downstream branches re-read shuffle/cached output, never
         // this node) — accumulator-exact, zero extra jobs.
         val candObs = new org.apache.spark.sql.Observation(s"cand_d${d}_s$stepsRun")
-        // NOTE the sha-256 `hash` column is NOT selected: it is a pure
-        // function of canon, and at 26.8M candidate rows its 64 hex chars
-        // are ~30% of the window shuffle's (incompressible) wire bytes —
-        // the round-4 profile's remote-read CPU term. It is recomputed by a
-        // codegen'd sha2 over the post-dedup fresh set below.
         val cands = exploded
           .withColumn("cand", Udfs.resolveCandidate(col("parent_url"), col("href")))
           .where(col("cand").isNotNull)
@@ -547,11 +542,24 @@ object SparkCrawler {
             col("cand.host").as("host"),
             col("cand.hostname").as("hostname"),
             col("cand.root").as("root"), col("cand.path").as("path"))
-          .withColumn("hash64", xxhash64(col("canon")))
           .withColumn("pass", passCond)
           .observe(candObs, count(lit(1)).as("n_cands"),
             sum(when(col("pass"), 1L).otherwise(0L)).as("n_passed"))
+        // SHUFFLE-SLIM PROJECTION (the round-4 profile's reduce-stage
+        // remote-read CPU term): everything entering the first-occurrence
+        // window's exchange — the biggest shuffle of the crawl, 26.8M rows
+        // on the deep bench's d4 — is cut to the 6 columns no later stage
+        // can derive. `hash` (64 hex chars), `hash64`, `host` and `root`
+        // are all pure functions of (canon | url): hash64 is re-derived
+        // right after the window (the Bloom probe's key), hash/host/root by
+        // codegen'd exprs (sha2, UrlHost, HostRoot — byte-equality with the
+        // UDF-side values pinned by UrlExprSpec) over the POST-dedup fresh
+        // set, which on a geometric crawl is a fraction of the candidate
+        // volume. hostname/path/parent_root are consumed by passCond above
+        // and ship nowhere.
         val passed = cands.where(col("pass"))
+          .select(col("parent_seq"), col("link_pos"), col("ua"), col("proxy"),
+            col("url"), col("canon"))
 
         // Q4a: in-batch first occurrence — discovery order (parent_seq, link_pos).
         // NOT persisted: the two Bloom legs below read it through the window's
@@ -560,8 +568,11 @@ object SparkCrawler {
         // Keyed by canon (dedup-equivalent to the reference's hash key —
         // see alignDelta's scaladoc).
         val w = Window.partitionBy(col("canon")).orderBy(col("parent_seq"), col("link_pos"))
+        // hash64 re-derived ABOVE the window (not shipped through it): the
+        // Bloom probe's key, and next superstep's politeness salt
         val firsts = passed.withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn")
+          .withColumn("hash64", xxhash64(col("canon")))
 
         // Q4b: cross-superstep dedup — Bloom segment pre-filter (no false
         // negatives → misses are definitely fresh), exact anti-join backstop.
@@ -622,10 +633,16 @@ object SparkCrawler {
               .join(seenHinted, Seq("canon"), "left_anti")
             sure.unionByName(suspect)
           } else firsts.join(seenHinted, Seq("canon"), "left_anti")
-        // the sha-256 identity (F3) is recomputed HERE, post-dedup, by the
-        // codegen'd sha2 — byte-identical to UrlFuncs.sha256hex (pinned by
-        // UrlExprSpec) — so only fresh-set rows pay the 64-char column
-        val fresh0 = fresh0pre.withColumn("hash", sha2(col("canon"), 256))
+        // the identity/addressing columns are recomputed HERE, post-dedup,
+        // so only fresh-set rows pay them: sha-256 (F3) via the codegen'd
+        // sha2 ≡ UrlFuncs.sha256hex; host via ONE GoUrl re-parse of the
+        // resolved url (exact by the round-trip identity CandidateFastPathSpec
+        // pins); root from host by pure label arithmetic — all pinned
+        // byte-equal to the UDF-side Parsed values in UrlExprSpec.
+        val fresh0 = fresh0pre
+          .withColumn("hash", sha2(col("canon"), 256))
+          .withColumn("host", exprs.UrlExprs.urlHost(col("url")))
+          .withColumn("root", exprs.UrlExprs.hostRoot(col("host")))
 
         // O1: reify FIFO order — ONE action for the whole superstep. Parent
         // seqs are dense in [seqBase − frontierSize, seqBase) by construction,

@@ -34,6 +34,32 @@ object UrlExprs {
       case Left(_)  => null
     }
 
+  /** Static evaluator: `host[:port]` of a parseable absolute URL (Go
+    * `URL.Host`), null when unparseable. For URLs produced by the engine's
+    * own resolver this equals `Parsed.host` exactly (the round-trip identity
+    * `parse(str(u)) == u`, property-pinned by CandidateFastPathSpec) — which
+    * is what lets the crawl loop recompute `host` on the post-dedup fresh
+    * set instead of shipping it through the candidate window shuffle. */
+  def hostPort(raw: UTF8String): UTF8String =
+    if (raw == null) null
+    else graft.wbot.GoUrl.parse(raw.toString) match {
+      case Right(u) => UTF8String.fromString(u.host)
+      case Left(_)  => null
+    }
+
+  /** Static evaluator: registrable domain of a bare `host[:port]` string —
+    * `registrableDomain(stripPort(host))`, the exact value `validateResolved`
+    * assigns to `Parsed.root` (`UrlFuncs.scala:176-187`; the TLD whitelist
+    * gate there only VALIDATES — it never alters the value — so for rows
+    * that already passed validation this recompute is identical). No URL
+    * parse: pure label arithmetic on an already-extracted host. */
+  def hostRoot(host: UTF8String): UTF8String =
+    if (host == null) null
+    else UrlFuncs.registrableDomain(graft.wbot.GoUrl.stripPort(host.toString)) match {
+      case Right(r) => UTF8String.fromString(r)
+      case Left(_)  => null
+    }
+
   /** Column handle for [[CanonicalizeUrl]] (classic backend). */
   def canonicalizeUrl(c: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
@@ -42,6 +68,14 @@ object UrlExprs {
   def urlRoot(c: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       UrlRoot(org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  def urlHost(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      UrlHost(org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+
+  def hostRoot(c: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      HostRoot(org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 
   /** Register SQL names: `wbot_canon(url)`, `wbot_root(url)`. */
   def register(spark: SparkSession): Unit = {
@@ -104,4 +138,22 @@ case class UrlRoot(child: Expression) extends UrlUnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "wbot_root"
+}
+
+/** `host(url)` — Go `URL.Host` (host[:port]) of an absolute URL. */
+case class UrlHost(child: Expression) extends UrlUnaryExpression {
+  override protected def evaluatorName: String = "hostPort"
+  override protected def evalStatic(s: UTF8String): UTF8String = UrlExprs.hostPort(s)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "wbot_host"
+}
+
+/** `hostRoot(host)` — registrable domain of a bare host[:port] (no parse). */
+case class HostRoot(child: Expression) extends UrlUnaryExpression {
+  override protected def evaluatorName: String = "hostRoot"
+  override protected def evalStatic(s: UTF8String): UTF8String = UrlExprs.hostRoot(s)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "wbot_host_root"
 }

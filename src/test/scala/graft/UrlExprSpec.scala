@@ -43,6 +43,33 @@ class UrlExprSpec extends SparkSuite {
     assert(r.getString(1) == "b.net")
   }
 
+  test("UrlHost/HostRoot ≡ Parsed.host/root — the engine's post-dedup host/root recompute") {
+    // the crawl loop ships only (url, canon) through the candidate window
+    // shuffle and re-derives host/root on the fresh set; these exprs must be
+    // byte-equal to the resolveCandidate UDF's Parsed values on every
+    // candidate the fixture grammar can produce
+    val sp = spark
+    import sp.implicits._
+    val cands = Fixtures.allPages(Fixtures.small).flatMap { p =>
+      val parsed = graft.wbot.UrlFuncs.newUrl(p.url).toOption.get
+      graft.wbot.Html.findLinksBytes(p.html, graft.wbot.Schemas.defaultMaxBodySize)
+        .flatMap(href => graft.wbot.UrlFuncs.candidate(parsed.url, href))
+    }.map(c => (c.urlStr, c.host, c.root)) ++
+      Seq(("http://user@site9.com:8080/p?q=1", "site9.com:8080", "site9.com"))
+    assert(cands.nonEmpty)
+    val got = cands.map(_._1).distinct.toDF("url").repartition(4)
+      .select(col("url"),
+        graft.wbot.exprs.UrlExprs.urlHost(col("url")).as("h"),
+        graft.wbot.exprs.UrlExprs.hostRoot(
+          graft.wbot.exprs.UrlExprs.urlHost(col("url"))).as("r"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    cands.foreach { case (url, host, root) =>
+      val (h, r) = got(url)
+      assert(h == host, s"UrlHost diverges on '$url': got $h want $host")
+      assert(r == root, s"HostRoot diverges on '$url': got $r want $root")
+    }
+  }
+
   test("sha2(canon, 256) ≡ UrlFuncs.sha256hex — the engine's post-dedup hash recompute") {
     // SparkCrawler no longer ships the 64-char sha through the candidate
     // shuffle: the F3 identity is recomputed by the built-in sha2 on the
