@@ -140,7 +140,15 @@ object Schemas {
       bloomBroadcastMaxBytes: Long = 256L << 20,
       checkpointDir: Option[String] = None,
       maxSupersteps: Int = Int.MaxValue, // stop after N supersteps (resume testing / ops)
-      recordStreams: Boolean = true // retain order/attempts streams (parity tests, sinks)
+      recordStreams: Boolean = true, // retain order/attempts streams (parity tests, sinks)
+      // Seen-set rows at or below which the anti-join's seen side broadcasts;
+      // also the bound below which per-superstep delta alignment is deferred
+      // (tiny supersteps skip the alignP-wide side job; the crossing
+      // superstep folds the accumulated smalls into one aligned store — a
+      // compaction commit when checkpointing). Default sized so the
+      // broadcast relation stays well under executor memory. Tests lower it
+      // to exercise the fold/aligned-resume path at fixture scale.
+      smallSeenBound: Long = 200000L
   ) {
     def budgetFor(root: String): Budget =
       rateLimits.getOrElse(root, rateLimits.getOrElse("*", Budget(10, 1000L)))

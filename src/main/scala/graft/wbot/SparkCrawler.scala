@@ -128,10 +128,12 @@ object SparkCrawler {
     cfg.scoreExpr.map(e => coalesce(expr(e).cast("long"), lit(0L))).getOrElse(lit(0L))
 
   private final case class State(
-      frontier: DataFrame, seen: DataFrame, bloom: BloomSeen.SegmentStore,
+      frontier: DataFrame, loadedDeltas: Seq[Storage.LoadedDelta],
+      bloom: BloomSeen.SegmentStore,
       metrics: mutable.Map[String, Long], seqBase: Long, startDepth: Int,
       orderParts: mutable.ArrayBuffer[DataFrame],
-      attemptParts: mutable.ArrayBuffer[DataFrame])
+      attemptParts: mutable.ArrayBuffer[DataFrame],
+      seenBaseStep: Int = -1)
 
   def run(spark: SparkSession, pages: DataFrame, seeds: Seq[String], cfg: CrawlConfig,
       saltedPoliteness: Boolean = false): CrawlRun = {
@@ -164,13 +166,21 @@ object SparkCrawler {
       "total_link" -> 0L, "crawled_link" -> 0L, "skipped_link" -> 0L,
       "duplicated_link" -> 0L)
     crawlLoop(spark, pagesPrep, cfg, saltedPoliteness,
-      State(frontier, null, newBloom(spark, cfg), m, seqBase, 0,
+      State(frontier, Nil, newBloom(spark, cfg), m, seqBase, 0,
         mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty))
   }
 
   /** Resume from the last committed superstep in cfg.checkpointDir: reload
     * frontier/seen/metrics/seq watermark and continue the loop; previously
-    * committed crawled/attempt deltas are folded into the result. */
+    * committed crawled/attempt deltas are folded into the result.
+    *
+    * The seen set comes back as a LIST of per-commit deltas
+    * ([[Storage.readSeenDeltas]]): deltas the engine committed BUCKETED at
+    * this session's alignment width reconstruct as zero-shuffle aligned
+    * leaves (the first post-resume anti-join adds no exchange on the seen
+    * side), and only the unaligned residue — small pre-fold deltas, the
+    * final expansion's unaligned commit, width-mismatched layouts — pays a
+    * re-shuffle, O(residue) not O(seen). */
   def resumePrepared(spark: SparkSession, pagesPrep: DataFrame, cfg: CrawlConfig,
       saltedPoliteness: Boolean = false): CrawlRun = {
     val st = new Storage(cfg.checkpointDir.getOrElse(
@@ -178,21 +188,21 @@ object SparkCrawler {
     val snap = st.readManifest().getOrElse(
       throw new IllegalStateException("no committed snapshot to resume from"))
     val frontier = st.readFrontier(spark, snap.lastStep).persist(StorageLevel.MEMORY_AND_DISK)
-    val seen = st.readSeen(spark, snap.lastStep)
-      .getOrElse {
-        import spark.implicits._
-        spark.emptyDataset[(String, String, Long)].toDF("canon", "hash", "hash64")
-      }.persist(StorageLevel.MEMORY_AND_DISK)
+    val alignP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val deltas = st.readSeenDeltas(spark, snap.lastStep, snap.seenBaseStep, alignP, seenRowBytes)
     val bloom = newBloom(spark, cfg)
-    if (bloom != null && !seen.isEmpty)
-      bloom.update(seen.select("hash64"))
+    if (bloom != null && deltas.nonEmpty)
+      // layout-free view: the segment build re-shuffles by pid anyway, and
+      // parquet column pruning makes this a hash64-only scan
+      st.readSeen(spark, snap.lastStep, snap.seenBaseStep)
+        .foreach(s => bloom.update(s.select("hash64")))
     val orderParts = mutable.ArrayBuffer.empty[DataFrame]
     st.readCrawled(spark, snap.lastStep).foreach(orderParts += _)
     val attemptParts = mutable.ArrayBuffer.empty[DataFrame]
     st.readAttempts(spark, snap.lastStep).foreach(attemptParts += _)
     crawlLoop(spark, pagesPrep, cfg, saltedPoliteness,
-      State(frontier, seen, bloom, mutable.Map(snap.metrics.toSeq: _*), snap.seqBase,
-        snap.lastStep + 1, orderParts, attemptParts))
+      State(frontier, deltas, bloom, mutable.Map(snap.metrics.toSeq: _*), snap.seqBase,
+        snap.lastStep + 1, orderParts, attemptParts, snap.seenBaseStep))
   }
 
   private def newBloom(spark: SparkSession, cfg: CrawlConfig): BloomSeen.SegmentStore =
@@ -211,13 +221,6 @@ object SparkCrawler {
   /** Estimated unsafe-row bytes of a (canon, hash, hash64) seen row — feeds
     * the leaf stats so a small seen side stays broadcastable. */
   private val seenRowBytes = 160L
-
-  /** Seen-set size (rows) below which the anti-join's seen side broadcasts —
-    * also the bound below which per-superstep delta ALIGNMENT is deferred
-    * (a broadcast side needs no layout, so tiny supersteps skip the
-    * alignP-wide side job entirely; the accumulated smalls are folded into
-    * one aligned store the first time the bound is crossed). */
-  private val smallSeenBound = 200000L
 
   /** The seen set is keyed by CANON, not by the sha-256 `hash`: hash is a
     * deterministic function of canon (`UrlFuncs.sha256hex(canon)` ≡
@@ -243,6 +246,12 @@ object SparkCrawler {
     // width so the anti-join's candidate side (the first-occurrence window's
     // shuffle) and the seen side line up with no extra exchange
     val alignP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // seen-set size below which the anti-join's seen side broadcasts — also
+    // the bound below which per-superstep delta ALIGNMENT is deferred (a
+    // broadcast side needs no layout, so tiny supersteps skip the alignP-wide
+    // side job entirely; the accumulated smalls are folded into one aligned
+    // store the first time the bound is crossed)
+    val smallSeenBound = cfg.smallSeenBound
     // attribution toggles (bench bisection; engine defaults are the fast path)
     val alignSeen = !sys.env.get("SPARK_GRAFT_NO_SEEN_ALIGN").contains("1")
     val pruneFetch = !sys.env.get("SPARK_GRAFT_NO_PRUNE").contains("1")
@@ -255,19 +264,30 @@ object SparkCrawler {
     val seenDeltas = mutable.ArrayBuffer.empty[DataFrame]
     val smallDeltas = mutable.ArrayBuffer.empty[DataFrame]
     val smallCaches = mutable.ArrayBuffer.empty[DataFrame]
-    if (st0.seen != null && st0.metrics.getOrElse("crawled_link", 0L) > 0L) {
-      require(st0.seen.columns.contains("canon"),
-        "seen snapshot predates the canon-keyed format (pre-round-5); cannot resume")
-      val loaded = st0.seen.select(col("canon"), col("hash"), col("hash64"))
+    if (st0.loadedDeltas.nonEmpty && st0.metrics.getOrElse("crawled_link", 0L) > 0L) {
+      st0.loadedDeltas.foreach(ld => require(ld.df.columns.contains("canon"),
+        "seen snapshot predates the canon-keyed format (pre-round-5); cannot resume"))
+      def proj(df: DataFrame) = df.select(col("canon"), col("hash"), col("hash64"))
       if (alignSeen) {
         if (st0.metrics("crawled_link") > smallSeenBound) {
-          seenDeltas += alignDelta(loaded, alignP)
-          st0.seen.unpersist() // the aligned copy supersedes the resume-loaded cache
+          // invariant past the bound: every delta aligned. Bucket-committed
+          // deltas already reconstruct as zero-shuffle aligned leaves
+          // (Storage.readSeenDeltas); only the unaligned residue — small
+          // pre-fold deltas, the final expansion's plain commit — pays one
+          // O(residue) re-shuffle, where the pre-round-5 resume re-aligned
+          // the FULL seen set.
+          val (ok, residue) = st0.loadedDeltas.partition(_.aligned)
+          seenDeltas ++= ok.map(_.df)
+          if (residue.nonEmpty)
+            seenDeltas += alignDelta(residue.map(ld => proj(ld.df)).reduce(_ unionByName _), alignP)
         } else {
-          smallDeltas += loaded // parquet/cache stats make it broadcastable as-is
-          smallCaches += st0.seen
+          // below the broadcast bound nothing needs a layout: every loaded
+          // delta stays a small parquet leaf (file stats make it
+          // broadcastable), and seenDeltas stays EMPTY so a later crossing
+          // fold genuinely covers all seen rows (supersedesPrior contract)
+          smallDeltas ++= st0.loadedDeltas.map(ld => proj(ld.df))
         }
-      } else seenDeltas += loaded
+      } else seenDeltas += st0.loadedDeltas.map(ld => proj(ld.df)).reduce(_ unionByName _)
     }
     def emptySeen: DataFrame =
       spark.emptyDataset[(String, String, Long)].toDF("canon", "hash", "hash64")
@@ -285,6 +305,9 @@ object SparkCrawler {
     val bloom = st0.bloom
     val m = st0.metrics
     var seqBase = st0.seqBase
+    // the step whose committed seen delta supersedes all earlier ones (the
+    // bound-crossing fold's compaction point); -1 until a fold commits
+    var seenBaseStep = st0.seenBaseStep
     val orderParts = st0.orderParts
     val attemptParts = st0.attemptParts
     val steps = mutable.ArrayBuffer.empty[StepStat]
@@ -348,7 +371,7 @@ object SparkCrawler {
         oldFrontier.unpersist()
         storage.foreach { s =>
           s.commitStep(d, frontier, None, emptyOrder(spark), emptyAttempts(spark),
-            m.toMap, seqBase)
+            m.toMap, seqBase, seenBaseStep)
         }
         steps += StepStat(d, frontierSize, fetched, frontierSize - fetched, 0L, 0L, 0L, 0,
           (System.nanoTime() - t0) / 1000000L)
@@ -499,10 +522,14 @@ object SparkCrawler {
       var freshCount = 0L
       var candTotal = 0L
       var passedCount = 0L
-      var seenDelta: Option[DataFrame] = None
+      var seenCommit: Option[Storage.SeenCommit] = None
       // in-flight hash-alignment of this superstep's seen delta (concurrent
-      // with the Bloom merge — both read the materialized bucket store)
+      // with the Bloom merge — both read the materialized bucket store);
+      // when it lands, the COMMITTED delta is the aligned store itself
+      // (bucket-partitioned on disk → zero-shuffle resume), superseding all
+      // earlier commits when it folded the deferred smalls in
       var alignFut: scala.concurrent.Future[DataFrame] = null
+      var alignSupersedes = false
       // the store backing the frontier this superstep consumes: releasable
       // once every consumer (main plan, order checkpoint, commit) is done
       val consumedStore = frontierRaw
@@ -740,9 +767,11 @@ object SparkCrawler {
             val toFold = smallDeltas.toVector
             val toRelease = smallCaches.toVector
             smallDeltas.clear(); smallCaches.clear()
-            // the COMMITTED delta stays this superstep's fresh keys only
-            // (the folded smalls were committed by their own supersteps)
-            seenDelta = Some(freshDelta)
+            // the fold covers every seen row so far (seenDeltas is empty
+            // while smalls exist), so its commit SUPERSEDES all earlier
+            // seen commits — the manifest's seen_base_step advances and a
+            // resume reads one bucketed store instead of d small parquets
+            alignSupersedes = toFold.nonEmpty
             alignFut = scala.concurrent.Future {
               val aligned = alignDelta(
                 (toFold :+ freshDelta).reduce(_ unionByName _), alignP)
@@ -755,12 +784,16 @@ object SparkCrawler {
               cache, Some((freshCount, math.max(1L, freshCount * seenRowBytes))))
             smallDeltas += leaf
             smallCaches += cache
-            seenDelta = Some(leaf)
+            if (freshCount > 0L)
+              seenCommit = Some(Storage.SeenCommit(leaf, None, freshCount,
+                supersedesPrior = false))
           }
         } else {
           val d0 = rank.cached.select(col("canon"), col("hash"), col("hash64"))
           seenDeltas += d0
-          seenDelta = Some(d0)
+          if (freshCount > 0L)
+            seenCommit = Some(Storage.SeenCommit(d0, None, freshCount,
+              supersedesPrior = false))
           protectedStore = rank.cached
         }
         if (bloom != null) {
@@ -831,6 +864,15 @@ object SparkCrawler {
         val aligned = scala.concurrent.Await.result(alignFut,
           scala.concurrent.duration.Duration.Inf)
         seenDeltas += aligned
+        // commit the ALIGNED store (one bucket dir per partition — resume
+        // reconstructs the layout with zero shuffle); a fold carries every
+        // seen row (seenTotal, already updated above) and advances the
+        // compaction point, a plain post-bound delta carries just the fresh
+        val alignedRows = if (alignSupersedes) seenTotal else freshCount
+        if (alignedRows > 0L)
+          seenCommit = Some(Storage.SeenCommit(aligned, Some(alignP), alignedRows,
+            supersedesPrior = alignSupersedes))
+        if (alignSupersedes) seenBaseStep = d
         alignFut = null
       }
       // atomic superstep commit: frontier, seen delta, crawled delta,
@@ -838,11 +880,11 @@ object SparkCrawler {
       // awaited before the superstep closes (the next superstep unpersists
       // the previous frontier this commit reads)
       val commitFut = storage.map { s =>
-        val fr = frontier; val sd = seenDelta
+        val fr = frontier; val sd = seenCommit
         val od = orderParts.lastOption.getOrElse(emptyOrder(spark))
         val at = attemptParts.lastOption.getOrElse(emptyAttempts(spark))
-        val mSnap = m.toMap; val sb = seqBase
-        scala.concurrent.Future(s.commitStep(d, fr, sd, od, at, mSnap, sb))(sideEc)
+        val mSnap = m.toMap; val sb = seqBase; val sbase = seenBaseStep
+        scala.concurrent.Future(s.commitStep(d, fr, sd, od, at, mSnap, sb, sbase))(sideEc)
       }
       commitFut.foreach(f =>
         scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))

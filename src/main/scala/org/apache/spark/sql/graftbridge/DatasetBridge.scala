@@ -112,6 +112,49 @@ object DatasetBridge {
         cdf.sparkSession, None, None))
   }
 
+  /** Reconstructs a hash-partitioned leaf from PER-BUCKET sources WITHOUT a
+    * shuffle: output partition i is the concatenation of every partition of
+    * `buckets(i)` (None = empty bucket), declared as
+    * `HashPartitioning(keyCols, buckets.size)`. All dependencies are narrow.
+    *
+    * This is the resume half of the bucket-aligned seen store: `Storage`
+    * commits each aligned seen delta as one directory per partition
+    * (`__bucket=<pid>`, pid = `spark_partition_id()` of the aligned leaf, ≡
+    * `pmod(hash(keys), p)`), and a resumed crawl reads each bucket directory
+    * back into its declared partition — so the first post-resume anti-join
+    * adds NO exchange on the seen side, where re-aligning a plain parquet
+    * load costs one O(seen) shuffle. On a real cluster this is simply
+    * reading a bucketed table.
+    *
+    * Caller's contract: every row in `buckets(i)` really hashes to bucket i
+    * under `HashPartitioning(keyCols, buckets.size)` (guaranteed when the
+    * directories were written from an aligned leaf at the same width); all
+    * bucket DataFrames share the leaf's schema. */
+  def bucketSourcesAligned(buckets: Seq[Option[DataFrame]], keyCols: Seq[String],
+      sizeHint: Option[(Long, Long)] = None): DataFrame = {
+    val defined = buckets.flatten
+    require(defined.nonEmpty, "bucketSourcesAligned: all buckets empty")
+    val cdefined = defined.map(_.asInstanceOf[classic.Dataset[Row]])
+    val head = cdefined.head
+    val schema = head.schema
+    require(cdefined.forall(_.schema == schema),
+      "bucketSourcesAligned: bucket schemas diverge")
+    val rddByBucket: Array[Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]] =
+      buckets.map(_.map(_.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd)).toArray
+    val rdd = new BucketAlignedRDD(head.sparkSession.sparkContext, rddByBucket)
+    val output = head.queryExecution.analyzed.output
+    val attrs = keyCols.map(k => output.find(_.name == k).getOrElse(
+      sys.error(s"partition key $k not in output ${output.map(_.name)}")))
+    val part = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(attrs, buckets.size)
+    val stats = sizeHint.map { case (rows, bytes) =>
+      org.apache.spark.sql.catalyst.plans.logical.Statistics(
+        sizeInBytes = BigInt(bytes), rowCount = Some(BigInt(rows)))
+    }
+    classic.Dataset.ofRows(head.sparkSession,
+      execution.LogicalRDD(output, rdd, part, Nil, isStreaming = false)(
+        head.sparkSession, stats, None))
+  }
+
   /** debug: physical output partitioning + leaf partitioning of a plan */
   def debugPartitioning(df: DataFrame): String = {
     val cdf = df.asInstanceOf[classic.Dataset[Row]]
@@ -165,8 +208,6 @@ object DatasetBridge {
   }
 }
 
-private final case class AlignedPart(index: Int) extends org.apache.spark.Partition
-
 /** Same partitions as the parent; pruned ones compute to empty without ever
   * touching the parent iterator (the cache block is neither fetched nor
   * decompressed, and an uncomputed partition stays uncomputed). */
@@ -186,6 +227,67 @@ private final class PartitionPrunedRDD(
     if (keep(split.index)) parent.preferredLocations(split) else Nil
 }
 
+/** A split that CAPTURES its parent RDDs' Partition objects driver-side:
+  * `RDD.partitions` may only be computable on the driver (FileScanRDD's
+  * partition list is `@transient` — recomputing it inside a task NPEs), so
+  * any compute() that iterates a parent's partitions must carry them in the
+  * split, exactly as Spark's own `UnionRDD` does. */
+private final class CapturedParentsPart(
+    override val index: Int,
+    val parentParts: Array[org.apache.spark.Partition]) extends org.apache.spark.Partition
+
+/** Output partition i = concatenation of ALL partitions of parent RDD i
+  * (None = empty). Narrow dependencies only: the dependency on parent i maps
+  * output partition i to every partition of that parent, and every other
+  * output partition to none — no shuffle, and a lost output partition
+  * recomputes only its own bucket's file scan. */
+private final class BucketAlignedRDD(
+    sc: org.apache.spark.SparkContext,
+    parents: Array[Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]])
+  extends org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow](
+    sc, BucketAlignedRDD.mkDeps(parents)) {
+
+  override def getPartitions: Array[org.apache.spark.Partition] =
+    Array.tabulate(parents.length)(i =>
+      new CapturedParentsPart(i, parents(i).map(_.partitions).getOrElse(Array.empty)))
+
+  override def compute(split: org.apache.spark.Partition,
+      context: org.apache.spark.TaskContext): Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    parents(split.index) match {
+      case Some(p) => split.asInstanceOf[CapturedParentsPart].parentParts.iterator
+        .flatMap(pp => p.iterator(pp, context))
+      case None => Iterator.empty
+    }
+
+  override def getPreferredLocations(split: org.apache.spark.Partition): Seq[String] =
+    parents(split.index).toSeq.flatMap(p =>
+      p.partitions.flatMap(pp => p.preferredLocations(pp))).distinct
+}
+
+private object BucketAlignedRDD {
+  /** Built here, not inline in the superclass constructor call: a partial-
+    * function literal there is an anon class nested in the RDD — premature
+    * access to the not-yet-initialized outer class. */
+  def mkDeps(
+      parents: Array[Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]])
+      : IndexedSeq[org.apache.spark.Dependency[_]] =
+    parents.zipWithIndex.collect {
+      case (Some(p), i) => new BucketNarrowDep(p, i)
+    }.toIndexedSeq
+}
+
+/** Dependency of [[BucketAlignedRDD]]'s output partition `bucket` on EVERY
+  * partition of its per-bucket parent; all other output partitions depend on
+  * none of them. Top-level (not an anon class inside the RDD) because Scala
+  * forbids anonymous classes in superclass constructor arguments. */
+private final class BucketNarrowDep(
+    p: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+    bucket: Int)
+  extends org.apache.spark.NarrowDependency[org.apache.spark.sql.catalyst.InternalRow](p) {
+  override def getParents(pid: Int): Seq[Int] =
+    if (pid == bucket) p.partitions.indices else Nil
+}
+
 /** Partition-wise union of RDDs with identical partition counts (and, by the
   * caller's contract, identical partitioners): narrow dependencies only —
   * partition i depends on every parent's partition i. */
@@ -198,11 +300,13 @@ private final class PartitionAlignedUnionRDD(
     })) {
 
   override def getPartitions: Array[org.apache.spark.Partition] =
-    Array.tabulate(parents.head.getNumPartitions)(AlignedPart(_))
+    Array.tabulate(parents.head.getNumPartitions)(i =>
+      new CapturedParentsPart(i, parents.map(_.partitions(i)).toArray))
 
   override def compute(split: org.apache.spark.Partition,
       context: org.apache.spark.TaskContext): Iterator[org.apache.spark.sql.catalyst.InternalRow] =
-    parents.iterator.flatMap(p => p.iterator(p.partitions(split.index), context))
+    parents.iterator.zip(split.asInstanceOf[CapturedParentsPart].parentParts.iterator)
+      .flatMap { case (p, pp) => p.iterator(pp, context) }
 
   override def getPreferredLocations(split: org.apache.spark.Partition): Seq[String] =
     parents.flatMap(p => p.preferredLocations(p.partitions(split.index))).distinct
