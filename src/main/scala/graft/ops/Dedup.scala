@@ -129,30 +129,78 @@ object Dedup {
   /**
    * Near-dup clusters: connected components over the candidate-pair graph
    * (the keep-one-per-cluster stage after MinHash/LSH + verify). Iterative
-   * min-label propagation — converges in O(component diameter) rounds, each
-   * one hash-shuffle join + agg; per-round localCheckpoint keeps lineage
-   * flat. Output: (id, cluster_id = min id in component, keep = 1 iff the
+   * min-label propagation WITH pointer jumping — each round takes every
+   * node's min over its neighbors' labels, then follows one label
+   * indirection (label ← label(label), the Shiloach–Vishkin shortcut), so
+   * convergence is O(log diameter) rounds of hash-shuffle joins instead of
+   * O(diameter): a path component that plain propagation walks one hop per
+   * round collapses in logarithmic rounds, which at corpus scale is the
+   * difference between ~8 and ~thousands of full-table shuffles (and keeps
+   * the round-over-round lineage, which serialization walks, shallow).
+   *
+   * Per-round state discipline (the 100 TB memory bound): the labels table
+   * is corpus-sized, so each round's result is held as an accounted
+   * `persist` (spill-safe, off-heap when the session has an off-heap pool)
+   * with its lineage cut by [[DatasetBridge.lineageCut]], and the PREVIOUS
+   * round's cache is explicitly released — flat memory across rounds.
+   * `localCheckpoint` (the previous shape) force-pins every round's blocks
+   * ON-HEAP for the loop's lifetime and fails the job on a lost block
+   * (DatasetBridge's scaladoc documents the measured hazard); the cut leaf
+   * instead recomputes a lost partition from its one-round-deep plan. The
+   * final round's cache backs the returned view and stays live for the
+   * caller (Spark evicts it LRU; `unpersist` it via `.unpersist()` on the
+   * result's source if the caller needs deterministic release).
+   *
+   * Output: (id, cluster_id = min id in component, keep = 1 iff the
    * representative).
    */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    val bulk =
+      if (org.apache.spark.sql.SparkSession.active.conf
+        .getOption("spark.memory.offHeap.enabled").contains("true"))
+        org.apache.spark.storage.StorageLevel.OFF_HEAP
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labelsCache = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist(bulk)
+    val n = labelsCache.count() // materialize + exact row stats for the leaf
+    var labels = DatasetBridge.lineageCut(labelsCache, Some((n, math.max(1L, n * 64L))))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+      // joins pinned to SHUFFLED hash: at corpus scale neither side fits a
+      // broadcast, and each round's exchanges are also the lineage
+      // boundaries that keep the per-stage serialized RDD graph one round
+      // deep (ShuffleDependency's parent is driver-only)
+      val nbrMin = edges.join(labels.hint("shuffle_hash"), edges("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+      val stepped = labels.join(nbrMin.hint("shuffle_hash"), labels("id") === nbrMin("dst"), "left")
         .select(labels("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("mid_label"),
           col("label").as("old_label"))
-        .localCheckpoint(true)
-      converged = updated.where(col("new_label") < col("old_label")).isEmpty
-      labels = updated.select(col("id"), col("new_label").as("label")).localCheckpoint(true)
+      // pointer jump: label ← label(label). Labels only ever hold ids of
+      // same-component nodes, so the indirection stays in-component and
+      // monotonically non-increasing; at the joint fixpoint labels are
+      // constant per component and idempotent, hence the component min.
+      val jump = labels.select(col("id").as("j_id"), col("label").as("j_label"))
+      val updatedCache = stepped.join(jump.hint("shuffle_hash"),
+          col("mid_label") === col("j_id"), "left")
+        .select(col("id"),
+          least(col("mid_label"), coalesce(col("j_label"), col("mid_label"))).as("new_label"),
+          col("old_label"))
+        .persist(bulk)
+      // one action: decides convergence AND materializes EVERY partition of
+      // the round's cache (a take(1)-style isEmpty could leave partitions
+      // unbuilt, whose later compute would chain through the caches this
+      // loop is about to release)
+      converged = updatedCache.where(col("new_label") < col("old_label")).count() == 0L
+      labels = DatasetBridge.lineageCut(updatedCache, Some((n, math.max(1L, n * 64L))))
+        .select(col("id"), col("new_label").as("label"))
+      labelsCache.unpersist() // previous round fully consumed — release
+      labelsCache = updatedCache
       i += 1
     }
     edges.unpersist()

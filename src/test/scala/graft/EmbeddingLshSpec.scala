@@ -75,4 +75,24 @@ class EmbeddingLshSpec extends SparkSuite {
       .map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(stats(0) == 100L && stats(1) == 2L)
   }
+
+  test("nearDupClusters: multi-round convergence with flat cache footprint (no checkpoint)") {
+    import spark.implicits._
+    // a 64-node chain: ONE component whose min-label needs ~log2(64) doubling
+    // rounds... min-label propagation moves the min ONE hop per round, so the
+    // chain forces many rounds — exactly the shape whose per-round
+    // localCheckpoint used to pin every round's labels on-heap forever
+    val pairs = (0 until 63).map(i => (f"d$i%03d", f"d${i + 1}%03d")).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Dedup.nearDupClusters(pairs, maxIter = 100)
+    val rows = out.collect()
+    assert(rows.length == 64 && rows.forall(_.getString(1) == "d000"),
+      "chain must converge to one cluster rooted at the min id")
+    assert(rows.count(_.getInt(2) == 1) == 1, "exactly one representative kept")
+    // flat memory across rounds: every intermediate round's cache (and the
+    // edges cache) is released — only the final round's labels cache survives
+    // to back the returned view
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1, s"cluster loop leaked caches: $before -> $after")
+  }
 }
