@@ -37,6 +37,36 @@ print(f"{statistics.median(ts):.3f}")
 PY
 }
 
+# In-leg contention sampler (round-4 verdict: pair 7 had quiet boundary
+# probes around a visibly degraded N=4 leg — gate on IN-LEG quiet, not just
+# before/after). Runs the same busy-loop kernel every 5 s on a spare pinned
+# CPU for the whole leg; a leg is quiet iff the MEDIAN in-leg sample is
+# <= PROBE_MAX (median, not max: one slow sample out of ~30 is the sampler
+# being descheduled once, not a loud window).
+sampler_start() { # $1 = samples file
+  : > "$1"
+  taskset -c 31 python3 - "$1" <<'PY' &
+import sys, time
+out = open(sys.argv[1], "w")
+while True:
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(3_000_000): s += i*i
+    out.write(f"{time.perf_counter()-t0:.3f}\n"); out.flush()
+    time.sleep(5)
+PY
+  SAMPLER_PID=$!
+}
+sampler_stop() { # $1 = samples file; echoes "median/max/n"
+  kill "$SAMPLER_PID" 2>/dev/null; wait "$SAMPLER_PID" 2>/dev/null
+  python3 - "$1" <<'PY'
+import sys, statistics
+xs = [float(l) for l in open(sys.argv[1]) if l.strip()]
+if xs: print(f"{statistics.median(xs):.3f}/{max(xs):.3f}/{len(xs)}")
+else: print("nan/nan/0")
+PY
+}
+
 runlevel() { # nWorkers totalCores pin outfile
   local NW=$1 CORES=$2 PIN=$3 F=$4
   SPARK_SCALA_VERSION=2.13 SPARK_JARS="file:$JAR" \
@@ -48,23 +78,32 @@ runlevel() { # nWorkers totalCores pin outfile
 
 for P in $(seq 1 "$PAIRS"); do
   P0=$(probe)
+  sampler_start "$OUT.s1"
   R1=$(runlevel 1 2 "4-7" "$OUT.n1")      # 1 executor x2 cores + driver, away from cpu0
+  S1=$(sampler_stop "$OUT.s1")
   P1=$(probe)
+  sampler_start "$OUT.s4"
   R4=$(runlevel 4 8 "4-13" "$OUT.n4")     # 4 executors x2 cores + driver
+  S4=$(sampler_stop "$OUT.s4")
   P2=$(probe)
   RATE1=$(echo "$R1" | grep -o 'rate=[0-9.]*' | cut -d= -f2)
   RATE4=$(echo "$R4" | grep -o 'rate=[0-9.]*' | cut -d= -f2)
-  QUIET=$(python3 -c "print('quiet' if max($P0,$P1,$P2) <= $PROBE_MAX else 'loud')")
+  # window = quiet iff BOTH legs' in-leg sample medians are quiet (the
+  # boundary probes stay recorded but no longer gate — pair-7 lesson)
+  M1=${S1%%/*}; M4=${S4%%/*}
+  QUIET=$(python3 -c "
+try: print('quiet' if max(float('$M1'),float('$M4')) <= $PROBE_MAX else 'loud')
+except ValueError: print('loud')")
   EFF=$(python3 -c "print(f'{($RATE4/$RATE1)/4:.3f}')" 2>/dev/null || echo "nan")
-  echo "pair=$P probes=$P0,$P1,$P2 window=$QUIET rate_n1=$RATE1 rate_n4=$RATE4 eff=$EFF" | tee -a "$OUT"
+  echo "pair=$P probes=$P0,$P1,$P2 inleg_n1=$S1 inleg_n4=$S4 window=$QUIET rate_n1=$RATE1 rate_n4=$RATE4 eff=$EFF" | tee -a "$OUT"
 done
 echo "--- summary ---"
 python3 - "$OUT" <<'PY'
 import sys, statistics
 effs=[]
 for line in open(sys.argv[1]):
-    if 'window=quiet' in line:
+    if 'window=quiet' in line:   # in-leg-quiet pairs only (auto-exclusion by rule)
         effs.append(float(line.split('eff=')[1].strip()))
-print(f"quiet pairs: {len(effs)}; efficiencies: {effs}")
+print(f"in-leg-quiet pairs: {len(effs)}; efficiencies: {effs}")
 if effs: print(f"median efficiency: {statistics.median(effs):.3f}")
 PY

@@ -129,9 +129,12 @@ object Multimodal {
   def be32Col(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
   /** int column → 2-byte big-endian binary. */
   def be16Col(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
-  /** int column → 2-byte little-endian binary. */
+  /** int column → 2-byte little-endian binary. Both bytes explicitly masked:
+    * an unmasked high byte of a value ≥ 65536 would hex to >2 chars, and the
+    * resulting odd-length concat makes `unhex` return null SILENTLY. */
   def le16Col(c: Column): Column =
-    unhex(concat(lpad(hex(c % 256), 2, "0"), lpad(hex(floor(c / 256).cast("int")), 2, "0")))
+    unhex(concat(lpad(hex(c % 256), 2, "0"),
+      lpad(hex(floor(c / 256).cast("int") % 256), 2, "0")))
 
   /** Valid PNG header (sig + IHDR chunk with the given dims + zero CRC)
     * followed by `tail` — 33 header bytes. */

@@ -96,12 +96,27 @@ object Robots {
         concat(regexp_replace(col("host"), "^www\\.", ""), lit("/robots.txt")))
     val robotsPages = pagesPrep match {
       case Some(prep) => prep.select(col("canon"), col("html")) // cached, canon precomputed
-      case None => pages
-        .withColumn("pcanon", exprs.UrlExprs.canonicalizeUrl(col("url")))
-        .where(col("pcanon").isNotNull)
-        .select(col("pcanon").as("canon"), col("html"))
+      case None =>
+        // duplicate-canon robots rows must resolve to the SAME winner the
+        // prepared snapshot holds (latest warc_ts, max url on ties —
+        // preparePages' max_by), not the union of every duplicate's rules;
+        // carried as __ord and reduced after the hosts join (hosts-sized agg,
+        // not a full-snapshot one)
+        val ordCol =
+          if (pages.columns.contains("warc_ts")) struct(col("warc_ts"), col("url"))
+          else struct(col("url"))
+        pages
+          .withColumn("pcanon", exprs.UrlExprs.canonicalizeUrl(col("url")))
+          .where(col("pcanon").isNotNull)
+          .select(col("pcanon").as("canon"), col("html"), ordCol.as("__ord"))
     }
-    hosts.join(robotsPages, Seq("canon"))
+    val joined0 = hosts.join(robotsPages, Seq("canon"))
+    val joined =
+      if (joined0.columns.contains("__ord"))
+        joined0.groupBy(col("canon"), col("host"))
+          .agg(max_by(col("html"), col("__ord")).as("html"))
+      else joined0
+    joined
       .select(explode(parseRules(col("host"), col("html"))).as("r"))
       .select(col("r.host"), col("r.agent"), col("r.allow"), col("r.pattern"))
       .as[(String, String, Boolean, String)]

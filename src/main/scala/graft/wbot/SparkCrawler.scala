@@ -157,6 +157,16 @@ object SparkCrawler {
     } finally { pagesPrep.unpersist(); () }
   }
 
+  /** Crawl against an already-prepared pages snapshot.
+    *
+    * LAYOUT CONTRACT: `pagesPrep` must be laid out as [[preparePages]]
+    * produces it — `HashPartitioning(canon, P)` (Murmur3, `pmod(hash(canon),
+    * P)` = partition id) with partitions sorted by canon and ONE row per
+    * canon. The fetch join itself only needs the canon key; the
+    * frontier-bucket PRUNING of the cache additionally relies on the hash
+    * layout, so the loop validates it on a sampled prefix the first time
+    * pruning would fire and falls back to unpruned scans (correct, just
+    * slower) on a mismatched external snapshot. */
   def runPrepared(spark: SparkSession, pagesPrep: DataFrame, seeds: Seq[String],
       cfg: CrawlConfig, saltedPoliteness: Boolean = false): CrawlRun = {
     val frontier = seedFrontier(spark, seeds, cfg).persist(StorageLevel.MEMORY_AND_DISK)
@@ -318,6 +328,22 @@ object SparkCrawler {
     // cfg.partitions when the prep came from this config; derived from the
     // actual layout so externally-prepared snapshots are safe)
     val pagesP = pagesPrep.rdd.getNumPartitions
+    // runPrepared's layout contract, machine-checked on a sampled prefix the
+    // first time pruning would fire (lazy: one tiny job per crawl, and only
+    // when pruning matters): every sampled row must sit in partition
+    // pmod(hash(canon), P). An externally-prepared snapshot with a matching
+    // partition COUNT but a different layout would otherwise be silently
+    // pruned into failed fetches; instead it crawls unpruned (correct).
+    lazy val pagesLayoutOk: Boolean = {
+      val bad = pagesPrep
+        .select(spark_partition_id().as("__pid"),
+          pmod(hash(col("canon")), lit(pagesP)).cast("int").as("__want"))
+        .limit(1000).where(col("__pid") =!= col("__want")).count()
+      if (bad > 0)
+        System.err.println(s"[wbot] pagesPrep layout is not HashPartitioning(canon, $pagesP) " +
+          s"($bad of <=1000 sampled rows misplaced) — frontier-bucket pruning disabled")
+      bad == 0L
+    }
 
     // the NEXT frontier's distinct pages-cache bucket ids, harvested for
     // free from the rank job's map stage (an observation) — so shallow
@@ -442,7 +468,7 @@ object SparkCrawler {
       // not O(corpus). Only worthwhile while the frontier can miss buckets:
       // past ~4·P random keys expected coverage is ≈ 98%, so skip the probe.
       val pagesSide: DataFrame =
-        if (pruneFetch && frontierSize < 4L * pagesP) {
+        if (pruneFetch && frontierSize < 4L * pagesP && pagesLayoutOk) {
           // pid set from the previous rank job's observation when available
           // (zero extra jobs); else one tiny distinct-collect over the
           // cached frontier (seeds, resume)
@@ -703,6 +729,12 @@ object SparkCrawler {
         }
         val rankP = math.max(1, math.min(cfg.partitions,
           (frontierSize * fanoutEst / 25000.0).toInt + 1))
+        // INVARIANT: denseRangeRank's counts job MATERIALIZES its input plan
+        // (it repartitions fresh0Obs into the bucket store and counts the
+        // buckets), so pidObs below is guaranteed to have fired — if Ranks
+        // ever computes counts without traversing the input plan, the
+        // blocking pidObs.get would hang the driver (the empty-map fallback
+        // only covers AQE collapsing the plan, not a never-run observation).
         val rank = Ranks.denseRangeRank(fresh0Obs, col("parent_seq"),
           seqBase - frontierSize, seqBase, Seq(col("link_pos")), "__rank", rankP)
         freshCount = rank.total
