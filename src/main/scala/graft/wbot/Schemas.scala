@@ -148,7 +148,20 @@ object Schemas {
       // compaction commit when checkpointing). Default sized so the
       // broadcast relation stays well under executor memory. Tests lower it
       // to exercise the fold/aligned-resume path at fixture scale.
-      smallSeenBound: Long = 200000L
+      smallSeenBound: Long = 200000L,
+      // Width P of the canon-hash layout the seen-set deltas are aligned to
+      // (the anti-join's seen-side partitioning and the bucketed-commit
+      // width). None = the session's spark.sql.shuffle.partitions — right
+      // while seen/P fits a shuffled-hash build comfortably. SIZING RULE at
+      // scale: the per-task build side is seen_rows × ~160 B / P, so pick P
+      // ≈ seen_rows × 160 B / 60 MB (e.g. P = 16384 at 10^10 keys) and grow
+      // it across resumes as the seen set grows. Width changes are SAFE
+      // across resumes: deltas committed bucketed at a different width
+      // reconstruct as plain leaves and pay one O(residue) re-shuffle
+      // (Storage.readSeenDeltas compares the on-disk aligned_p), and results
+      // are width-invariant (SeenAlignWidthSpec pins order/seen/metrics
+      // byte-equal across widths).
+      seenAlignPartitions: Option[Int] = None
   ) {
     def budgetFor(root: String): Budget =
       rateLimits.getOrElse(root, rateLimits.getOrElse("*", Budget(10, 1000L)))

@@ -198,7 +198,8 @@ object SparkCrawler {
     val snap = st.readManifest().getOrElse(
       throw new IllegalStateException("no committed snapshot to resume from"))
     val frontier = st.readFrontier(spark, snap.lastStep).persist(StorageLevel.MEMORY_AND_DISK)
-    val alignP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val alignP = cfg.seenAlignPartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
     val deltas = st.readSeenDeltas(spark, snap.lastStep, snap.seenBaseStep, alignP, seenRowBytes)
     val bloom = newBloom(spark, cfg)
     if (bloom != null && deltas.nonEmpty)
@@ -252,10 +253,12 @@ object SparkCrawler {
       saltedPoliteness: Boolean, st0: State): CrawlRun = {
     import spark.implicits._
     var frontier = st0.frontier
-    // join-width alignment: deltas are partitioned to the session's shuffle
-    // width so the anti-join's candidate side (the first-occurrence window's
-    // shuffle) and the seen side line up with no extra exchange
-    val alignP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // join-width alignment: deltas are partitioned at cfg.seenAlignPartitions
+    // (default: the session's shuffle width) so the anti-join's candidate
+    // side (the first-occurrence window's shuffle) and the seen side line up
+    // with no extra exchange; see CrawlConfig for the at-scale sizing rule
+    val alignP = cfg.seenAlignPartitions.getOrElse(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
     // seen-set size below which the anti-join's seen side broadcasts — also
     // the bound below which per-superstep delta ALIGNMENT is deferred (a
     // broadcast side needs no layout, so tiny supersteps skip the alignP-wide

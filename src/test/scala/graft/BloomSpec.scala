@@ -16,7 +16,8 @@ class BloomSpec extends AnyFunSuite {
     keys.foreach(BloomSeen.add(bits, _))
     assert(keys.forall(BloomSeen.mightContain(bits, _)), "false negative!")
     val probes = Array.fill(n)(rnd.nextLong())
-    val fp = probes.count(k => !keys.contains(k) && BloomSeen.mightContain(bits, k))
+    val keySet = keys.toSet // O(1) membership — the array scan was O(n^2)
+    val fp = probes.count(k => !keySet.contains(k) && BloomSeen.mightContain(bits, k))
     val fpr = fp.toDouble / n
     assert(fpr < 0.05, s"false-positive rate too high: $fpr")
   }
