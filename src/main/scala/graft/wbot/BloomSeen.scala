@@ -118,16 +118,29 @@ object BloomSeen {
   }
 
   /** Aggregate a `hash64` column into per-pid segments (pids with no keys are
-    * simply absent — an absent segment means "definitely fresh"). */
+    * simply absent — an absent segment means "definitely fresh").
+    *
+    * PLAN SHAPE (the 100 TB term): keys are hash-aligned to their segment's
+    * partition BEFORE the aggregation, and the grouping is UNTYPED so the
+    * repartition's `HashPartitioning(pid, p)` satisfies the aggregate's
+    * required distribution — partial ≡ final in one exchange-free stage, and
+    * the only shuffle carries raw `(pid, hash64)` rows (~12 B/key). The
+    * previous typed `groupByKey` shape map-side-partial-aggregated instead:
+    * one `numBytes` zero-heavy buffer per (pid × map partition) — at p=160 ×
+    * 294 map partitions that is 47k × 82 KB ≈ 3.9 GB of real partial state
+    * that compresses ~100×, so AQE coalesced the reduce into 3 giant tasks
+    * that decompressed and OR-merged it serially (measured: 827 s of the d3
+    * superstep's wall on the deep bench's one-time Bloom catch-up). At the
+    * 10^10 design point (P=1024, ~12 MB segments) the partial state would be
+    * terabytes. The explicit width-p repartition is also AQE-coalesce-proof
+    * (user-specified numPartitions is never coalesced). */
   private def segmentsOf(spark: SparkSession, df: DataFrame, p: Int,
       numBytes: Int): DataFrame = {
-    import spark.implicits._
     df.select(pmod(col("hash64"), lit(p)).cast("int").as("pid"), col("hash64"))
-      .as[(Int, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(new SegmentAgg(numBytes).toColumn.name("bits"))
-      .toDF("pid", "bits")
+      .repartition(p, col("pid"))
+      .groupBy(col("pid"))
+      .agg(udaf(new SegmentAgg(numBytes), Encoders.scalaLong)
+        .apply(col("hash64")).as("bits"))
   }
 
   /**
