@@ -84,6 +84,17 @@ object CrawlBench {
         sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "true"))
       .config("spark.memory.offHeap.enabled", "true")
       .config("spark.memory.offHeap.size", sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "24g"))
+      // Cluster-fabric tuning for the multi-executor levels (the N=4 cost
+      // the round-4 stage profile located: remote shuffle-block reads on the
+      // candidate reduce stage, +29% CPU at N=4). zstd compresses the url/
+      // canon-heavy candidate shuffle ~1.5-2x tighter than lz4 at similar
+      // decompress cost — every byte saved is a netty byte at N=4 (and a
+      // page-cache byte at N=1, where the change is neutral: same-window
+      // A/B in BENCH/BASELINE.md). A deeper in-flight window keeps the
+      // 2-core reduce tasks fed while remote fetches stream in.
+      .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))
+      .config("spark.reducer.maxSizeInFlight",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_INFLIGHT", "96m"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

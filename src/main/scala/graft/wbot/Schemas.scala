@@ -138,6 +138,13 @@ object Schemas {
       // faster than the pid-cogroup (the cogroup pays a full candidate
       // shuffle); cut over only when per-executor memory actually hurts
       bloomBroadcastMaxBytes: Long = 256L << 20,
+      // Force the two-leg probe split (sure rows bypass the anti-join) even
+      // in the broadcast-probe regime. Default OFF: with the aligned seen
+      // side the split's second read of the first-occurrence shuffle costs
+      // more than the bloom saves (see the fresh0pre scaladoc in
+      // SparkCrawler); the cogroup path always splits. Parity tests force
+      // this on to pin the broadcast two-leg shape result-identical.
+      bloomTwoPassProbe: Boolean = false,
       checkpointDir: Option[String] = None,
       maxSupersteps: Int = Int.MaxValue, // stop after N supersteps (resume testing / ops)
       recordStreams: Boolean = true, // retain order/attempts streams (parity tests, sinks)

@@ -268,6 +268,8 @@ object SparkCrawler {
     // attribution toggles (bench bisection; engine defaults are the fast path)
     val alignSeen = !sys.env.get("SPARK_GRAFT_NO_SEEN_ALIGN").contains("1")
     val pruneFetch = !sys.env.get("SPARK_GRAFT_NO_PRUNE").contains("1")
+    val twoPassProbe = cfg.bloomTwoPassProbe ||
+      sys.env.get("SPARK_GRAFT_TWO_PASS_PROBE").contains("1")
     // ALIGNED deltas (canon-hash-partitioned at alignP — the aligned-union
     // view's inputs) and DEFERRED small deltas (unaligned stats-bearing
     // leaves over tiny persisted projections: while the accumulated seen set
@@ -665,19 +667,18 @@ object SparkCrawler {
           }
         var markedCache: DataFrame = null
         val fresh0pre =
-          if (bloomActive) {
-            // broadcast probe: a codegen'd map over the reused window shuffle
-            // — running it once per leg is cheaper than materializing the
-            // candidate set. Cogroup probe (the 10^10 path): its own shuffle +
-            // per-group segment decode — materialize ONCE so the two legs
-            // don't pay the probe twice (one extra job, amortized at the
-            // volumes that select this path). persist at bulkLevel, NOT
-            // localCheckpoint: checkpoint blocks are forced on-heap, pinned
-            // forever by the retained seen-delta caches, and a lost block
-            // fails the job — the accounted persist is spill-safe,
-            // recomputable, and explicitly unpersisted once the rank's bucket
-            // store is materialized (the only consumer after that point is a
-            // rare lost-partition recompute, which re-runs the probe plan).
+          if (bloomActive && (bloom.usesCogroup || twoPassProbe)) {
+            // TWO-LEG probe split: sure rows (bloom says definitely fresh)
+            // bypass the anti-join; suspects go through it. This pays a
+            // SECOND read of the first-occurrence shuffle (both legs re-read
+            // it) — worth it only when the probe itself is expensive enough
+            // to amortize that: the cogroup probe (the 10^10 path — its own
+            // shuffle + per-group segment decode) is, so it is materialized
+            // ONCE (persist at bulkLevel, NOT localCheckpoint: checkpoint
+            // blocks are forced on-heap, pinned forever by the retained
+            // seen-delta caches, and a lost block fails the job — the
+            // accounted persist is spill-safe, recomputable, and explicitly
+            // unpersisted once the rank's bucket store is materialized).
             val marked0 = bloom.withMight(firsts, col("hash64"))
             val marked = if (bloom.usesCogroup) {
               markedCache = marked0.persist(bulkLevel)
@@ -688,7 +689,22 @@ object SparkCrawler {
             val suspect = marked.where(col("__might")).drop("__might")
               .join(seenHinted, Seq("canon"), "left_anti")
             sure.unionByName(suspect)
-          } else firsts.join(seenHinted, Seq("canon"), "left_anti")
+          } else
+            // SINGLE-PASS exact anti-join (broadcast-probe regime and the
+            // no-bloom path). With the aligned seen side the anti-join's
+            // probe reuses the first-occurrence shuffle's hash partitioning
+            // and its build is one aligned partition (seen/P rows) — so the
+            // marginal cost of probing a SURE row is one in-memory hash
+            // lookup, while the bloom split costs a second full (remote at
+            // N>1) read of the crawl's biggest shuffle. The round-4 stage
+            // profile put the candidate reduce stage's remote-read CPU at
+            // +29% at N=4 — halving its shuffle reads is worth more than the
+            // broadcast bloom probe saves (no false negatives ⇒ identical
+            // output either way; `SPARK_GRAFT_TWO_PASS_PROBE=1` restores the
+            // split for attribution). The Bloom store keeps building
+            // concurrently: it is the probe of record the moment segment
+            // volume escalates to the cogroup path, and it rides resume.
+            firsts.join(seenHinted, Seq("canon"), "left_anti")
         // the identity/addressing columns are recomputed HERE, post-dedup,
         // so only fresh-set rows pay them: sha-256 (F3) via the codegen'd
         // sha2 ≡ UrlFuncs.sha256hex; host via ONE GoUrl re-parse of the

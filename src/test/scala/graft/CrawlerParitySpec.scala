@@ -84,6 +84,14 @@ class CrawlerParitySpec extends SparkSuite {
       bloomMinSeen = 60L))
   }
 
+  test("parity: broadcast bloom two-leg probe split gives identical results") {
+    // the default broadcast regime runs the single-pass exact anti-join;
+    // forcing the two-leg split (sure rows bypass the anti-join) must be
+    // result-identical — bloom has no false negatives
+    assertParity(tiny, tinySeeds, CrawlConfig(maxDepth = 3, partitions = 4,
+      bloomTwoPassProbe = true))
+  }
+
   test("parity: distributed bloom segments (pid-co-partitioned join path)") {
     // broadcastMaxBytes = 0 forces the 10^10-scale strategy: candidates
     // shuffle on pid and hash-join their own segment row
