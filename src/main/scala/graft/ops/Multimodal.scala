@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
  * (logical screen descriptor) and JPEG (marker scan to the SOF frame
  * header) dimensions with pure byte arithmetic — no image library needed,
  * pinned by golden byte vectors (MultimodalSpec) and a DuckDB round-trip
- * oracle (SparkEntry q27). Only the FEATURE vector stays a deterministic
- * byte-hash stand-in ([[fakeFeature]]): a real embedding model cannot exist
- * in this container, and the Spark-side contract — schema, batch shape,
- * partition-parallel decode — is what the plumbing pins.
+ * oracle (SparkEntry q27). The FEATURE vector is a real (if simple)
+ * content feature — the normalized 8-bin byte histogram of the payload
+ * ([[byteHistogramFeature]], bin = byte >>> 5) — whose formula is replayed
+ * bin-exactly by a DuckDB oracle (SparkEntry q31) and pinned Scala ≡
+ * Catalyst in MultimodalSpec. A LEARNED extractor still cannot exist in
+ * this container; the histogram is the honest stand-in with the same
+ * Spark-side contract (schema, batch shape, partition-parallel decode).
  */
 object Multimodal {
 
@@ -25,7 +28,7 @@ object Multimodal {
       magic_hex: String, // first 4 payload bytes, hex — format sniffing
       format: String, // png | gif | jpeg | unknown (header-decoded)
       width: Int, height: Int, // real header decode; 0 when unknown
-      feature: Array[Float]) // stubbed 8-dim feature (see scaladoc)
+      feature: Array[Float]) // 8-bin normalized byte histogram (q31-oracled formula)
 
   final case class Decoded(format: String, width: Int, height: Int)
   private val unknown = Decoded("unknown", 0, 0)
@@ -89,13 +92,37 @@ object Multimodal {
       .orElse(decodeJpeg(bytes))
       .getOrElse(unknown)
 
-  /** Deterministic stand-in for a learned feature extractor (see scaladoc). */
-  def fakeFeature(bytes: Array[Byte]): Array[Float] = {
+  /** 8-dim content feature: the normalized byte histogram, bin j = share of
+    * payload bytes whose top 3 bits equal j. Deterministic, O(bytes), and
+    * SQL-replayable — [[byteHistCountCol]] computes the same bin COUNTS in
+    * pure Catalyst and SparkEntry q31's DuckDB oracle replays them
+    * bin-exactly (the one feature formula three independent engines agree
+    * on). Stand-in for a learned extractor (none can exist in this
+    * container) with the real extractor's plumbing contract. */
+  def byteHistogramFeature(bytes: Array[Byte]): Array[Float] = {
     val n = if (bytes == null) 0 else bytes.length
-    var h = 1125899906842597L
+    val cnt = new Array[Int](8)
     var i = 0
-    while (i < n) { h = 31 * h + bytes(i); i += 1 }
-    Array.tabulate(8)(j => (((h >>> (j * 8)) & 0xff).toInt - 128) / 128.0f)
+    while (i < n) { cnt((bytes(i) & 0xff) >>> 5) += 1; i += 1 }
+    if (n == 0) new Array[Float](8)
+    else Array.tabulate(8)(j => cnt(j).toFloat / n)
+  }
+
+  /** Catalyst twin of [[byteHistogramFeature]]'s bin counts: number of bytes
+    * of the hex-encoded payload column `hexCol` whose value >>> 5 == j. The
+    * high nibble alone carries the top 3 bits (bin = high_nibble div 2), and
+    * high nibbles sit at the ODD 1-based positions of the hex string — so
+    * the count is a filter over sequence(1, len, 2). Both Spark and DuckDB
+    * emit UPPERCASE hex, so the q31 oracle replays the identical expression
+    * shape over the same alphabet. O(8·bytes)/row as 8 filter passes — fine
+    * for a feature column; a single-pass native expression is the 100 TB
+    * path if feature extraction ever dominates a profile. */
+  def byteHistCountCol(hexCol: String, j: Int): Column = {
+    require(j >= 0 && j < 8, s"bin out of range: $j")
+    // sequence(1, 0, 2) throws (illegal boundaries) — guard the empty payload
+    expr(s"CAST(IF(length($hexCol) = 0, 0, " +
+      s"size(filter(sequence(1, length($hexCol), 2), " +
+      s"p -> ((instr('0123456789ABCDEF', substring($hexCol, p, 1)) - 1) div 2) = $j))) AS BIGINT)")
   }
 
   def decodeOne(id: Long, bytes: Array[Byte]): MediaMeta = {
@@ -103,7 +130,7 @@ object Multimodal {
     val magic = (if (bytes == null) Array.empty[Byte] else bytes.take(4))
       .map(b => f"$b%02x").mkString
     val d = decodeHeader(bytes)
-    MediaMeta(id, n.toLong, magic, d.format, d.width, d.height, fakeFeature(bytes))
+    MediaMeta(id, n.toLong, magic, d.format, d.width, d.height, byteHistogramFeature(bytes))
   }
 
   /** Decode stage: partition-mapped over (id, payload) batches — the decode

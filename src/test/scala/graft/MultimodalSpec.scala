@@ -80,4 +80,31 @@ class MultimodalSpec extends SparkSuite {
       assert(m.n_bytes == hdr + s"body-${m.id}".getBytes("UTF-8").length, s"id=${m.id}")
     }
   }
+
+  test("byte-histogram feature: Scala decoder path ≡ Catalyst twin (the q31 contract)") {
+    val s = spark
+    import s.implicits._
+    // payloads spanning all 8 bins, incl. an empty one (the sequence guard)
+    val rows = Seq(
+      0L -> Array.empty[Byte],
+      1L -> Array.tabulate(256)(_.toByte), // uniform: every bin = 32
+      2L -> "hello wbot — höhößü".getBytes("UTF-8"),
+      3L -> hexBytes("89504E470D0A1A0A FF 00 1F 20 3F 40 5F 60 7F 80 9F A0 BF C0 DF E0"))
+    val df = rows.toDF("id", "payload").withColumn("__h", hex(col("payload")))
+    val bins = (0 until 8).map(j => Multimodal.byteHistCountCol("__h", j).as(s"b$j"))
+    val got = df.select(col("id") +: bins: _*).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toVector).toMap
+    rows.foreach { case (id, bytes) =>
+      val cnt = new Array[Long](8)
+      bytes.foreach(b => cnt((b & 0xff) >>> 5) += 1)
+      assert(got(id) == cnt.toVector, s"id=$id")
+      // and the normalized decoder feature is exactly cnt/total
+      val feat = Multimodal.byteHistogramFeature(bytes)
+      val n = bytes.length
+      (0 until 8).foreach { j =>
+        val want = if (n == 0) 0.0f else cnt(j).toFloat / n
+        assert(feat(j) == want, s"id=$id bin=$j")
+      }
+    }
+  }
 }
