@@ -208,9 +208,9 @@ object SparkEntry {
       // this Catalyst twin, so the decodeMeta feature column is transitively
       // SQL-oracled — the round-4 verdict's last un-oracled column.
       val doc = t(s, d, "documents")
-        .withColumn("__h", hex(col("text").cast("binary")))
+        .withColumn("__high", Multimodal.highNibbles(hex(col("text").cast("binary"))))
       val bins = (0 until 8).map(j =>
-        Multimodal.byteHistCountCol("__h", j).as(s"b$j"))
+        Multimodal.byteHistCountCol("__high", j).as(s"b$j"))
       doc.select(col("doc_id") +: bins: _*)
     }),
 

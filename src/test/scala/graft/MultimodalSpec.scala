@@ -90,8 +90,9 @@ class MultimodalSpec extends SparkSuite {
       1L -> Array.tabulate(256)(_.toByte), // uniform: every bin = 32
       2L -> "hello wbot — höhößü".getBytes("UTF-8"),
       3L -> hexBytes("89504E470D0A1A0A FF 00 1F 20 3F 40 5F 60 7F 80 9F A0 BF C0 DF E0"))
-    val df = rows.toDF("id", "payload").withColumn("__h", hex(col("payload")))
-    val bins = (0 until 8).map(j => Multimodal.byteHistCountCol("__h", j).as(s"b$j"))
+    val df = rows.toDF("id", "payload")
+      .withColumn("__high", Multimodal.highNibbles(hex(col("payload"))))
+    val bins = (0 until 8).map(j => Multimodal.byteHistCountCol("__high", j).as(s"b$j"))
     val got = df.select(col("id") +: bins: _*).collect()
       .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toVector).toMap
     rows.foreach { case (id, bytes) =>
