@@ -12,6 +12,11 @@ OUT=${2:-/tmp/cluster_pairs.txt}
 NH=${3:-200}; PPH=${4:-20000}; SKEW=${5:-1}; MD=${6:-4}; FMIN=${7:-12}; FRAND=${8:-4}
 MEM=${SPARK_DRIVER_MEM:-6g}
 EXEC_MEM=${EXEC_MEM:-8192}
+# Cores per executor (same at both levels — the scaling variable is the
+# EXECUTOR COUNT, 1 vs 4). 2 reproduces the historical pairs; 6 is the
+# realistic cluster shape (4x6 = 24 busy cores + driver + sampler on this
+# 32-core host) and amortizes per-executor fabric constants over more cores.
+EC=${EXEC_CORES:-2}
 PROBE_MAX=${PROBE_MAX:-0.40}
 # The quiet bar is RELATIVE to this host-day's idle speed: the busy-loop
 # baseline at true idle drifts across reboots (measured 0.35-0.44 s for the
@@ -90,7 +95,7 @@ PY
 runlevel() { # nWorkers totalCores pin outfile
   local NW=$1 CORES=$2 PIN=$3 F=$4
   SPARK_SCALA_VERSION=2.13 SPARK_JARS="file:$JAR" \
-  SPARK_MASTER="local-cluster[$NW,2,$EXEC_MEM]" SPARK_GRAFT_OFFHEAP=${OFFHEAP:-8g} \
+  SPARK_MASTER="local-cluster[$NW,$EC,$EXEC_MEM]" SPARK_GRAFT_OFFHEAP=${OFFHEAP:-8g} \
   taskset -c "$PIN" java -Xmx"$MEM" $OPENS -Dspark.ui.enabled=false -cp "$CP" \
     graft.wbot.CrawlBench run "$CORES" "$F" "$NH" "$PPH" "$SKEW" "$MD" "$FMIN" "$FRAND" \
     2>/dev/null | grep -o 'cores=[0-9]* wall=[0-9.]* urls=[0-9]* rate=[0-9.]*' | head -1
@@ -99,20 +104,28 @@ runlevel() { # nWorkers totalCores pin outfile
 for P in $(seq 1 "$PAIRS"); do
   P0=$(probe)
   sampler_start "$OUT.s1"
-  R1=$(runlevel 1 2 "4-7" "$OUT.n1")      # 1 executor x2 cores + driver, away from cpu0
+  R1=$(runlevel 1 "$EC" "4-$((3 + EC + 2))" "$OUT.n1")   # 1 executor + driver, away from cpu0
   S1=$(sampler_stop "$OUT.s1")
   P1=$(probe)
   sampler_start "$OUT.s4"
-  R4=$(runlevel 4 8 "4-13" "$OUT.n4")     # 4 executors x2 cores + driver
+  R4=$(runlevel 4 $((4 * EC)) "4-$((3 + 4 * EC + 2))" "$OUT.n4") # 4 executors + driver
   S4=$(sampler_stop "$OUT.s4")
   P2=$(probe)
   RATE1=$(echo "$R1" | grep -o 'rate=[0-9.]*' | cut -d= -f2)
   RATE4=$(echo "$R4" | grep -o 'rate=[0-9.]*' | cut -d= -f2)
-  # window = quiet iff BOTH legs' in-leg sample medians are quiet (the
-  # boundary probes stay recorded but no longer gate — pair-7 lesson)
+  # window = quiet iff BOTH legs' in-leg sample medians are under the bar
+  # (the boundary probes stay recorded but no longer gate — pair-7 lesson)
+  # AND the two legs ran in the SAME host state (medians within 10% of each
+  # other): this host flips between clock/steal states, and a pair whose
+  # legs straddle a flip measures the flip, not the engine — in EITHER
+  # direction (a fast-state N=1 leg deflates efficiency exactly as a
+  # fast-state N=4 leg inflates it), so the exclusion is luck-symmetric.
   M1=${S1%%/*}; M4=${S4%%/*}
   QUIET=$(python3 -c "
-try: print('quiet' if max(float('$M1'),float('$M4')) <= $BAR else 'loud')
+try:
+    m1, m4 = float('$M1'), float('$M4')
+    ok = max(m1, m4) <= $BAR and max(m1, m4) <= 1.10 * min(m1, m4)
+    print('quiet' if ok else ('state-mismatch' if max(m1, m4) <= $BAR else 'loud'))
 except ValueError: print('loud')")
   EFF=$(python3 -c "print(f'{($RATE4/$RATE1)/4:.3f}')" 2>/dev/null || echo "nan")
   echo "pair=$P bar=$BAR probes=$P0,$P1,$P2 inleg_n1=$S1 inleg_n4=$S4 window=$QUIET rate_n1=$RATE1 rate_n4=$RATE4 eff=$EFF" | tee -a "$OUT"
