@@ -390,7 +390,16 @@ object SparkCrawler {
       if (d >= cfg.maxDepth && !cfg.recordStreams && !cfg.strictPoliteness) {
         m("total_requests") += frontierSize
         val hitSrc = if (frontierRaw != null) frontierRaw else frontier
-        val fetched = hitSrc.join(pagesPrep.select("canon"), Seq("canon"), "left_semi").count()
+        // count-only semi join: ship ONE column through the frontier-side
+        // exchange (canon, ~4x fewer bytes than the full store row) and pin
+        // the join shuffled-hash — the build is one aligned pages partition
+        // (corpus/P rows, no exchange, no sort on the cache side) and the
+        // probe side skips its sort too. On the biggest frontier of the crawl
+        // (the terminal depth is the geometric peak) SMJ's two sorts are pure
+        // waste: nothing downstream consumes an ordering.
+        val fetched = hitSrc.select("canon")
+          .join(pagesPrep.select("canon").hint("shuffle_hash"), Seq("canon"), "left_semi")
+          .count()
         m("successful_requests") += fetched
         m("failed_requests") += frontierSize - fetched
         val oldFrontier = frontier
