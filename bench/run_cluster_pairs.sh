@@ -36,7 +36,12 @@ for _ in range(5):
 print(f"{statistics.median(ts):.3f}")
 PY
 )
-BAR=$(python3 -c "print('%.3f' % max($PROBE_MAX, $IDLE0 * 1.15))")
+# BAR_OVERRIDE: pin the bar to a TRUE-idle measurement taken earlier in the
+# host-day instead of calibrating at launch — a campaign launched while the
+# host is loud would otherwise calibrate "idle" from a contended sample and
+# accept loud pairs as quiet (the bar can only be inflated by launch-time
+# noise, never deflated). The launch-time reading is still recorded.
+BAR=${BAR_OVERRIDE:-$(python3 -c "print('%.3f' % max($PROBE_MAX, $IDLE0 * 1.15))")}
 echo "idle_baseline=$IDLE0 quiet_bar=$BAR (PROBE_MAX=$PROBE_MAX)"
 JAR="$PWD/target/scala-2.13/wbotspark_2.13-0.1.0.jar"
 
