@@ -629,17 +629,49 @@ object SparkCrawler {
             col("url"), col("canon"))
 
         // Q4a: in-batch first occurrence — discovery order (parent_seq, link_pos).
-        // NOT persisted: the two Bloom legs below read it through the window's
-        // shuffle, which Catalyst reuses (one shuffle write, two sorted reads)
-        // — spill-safe at any candidate volume, unlike a 26.8M-row cache.
-        // Keyed by canon (dedup-equivalent to the reference's hash key —
-        // see alignDelta's scaladoc).
-        val w = Window.partitionBy(col("canon")).orderBy(col("parent_seq"), col("link_pos"))
-        // hash64 re-derived ABOVE the window (not shipped through it): the
+        // NOT persisted: downstream legs read it through the aggregation's
+        // shuffle, which Catalyst reuses — spill-safe at any candidate
+        // volume, unlike a 26.8M-row cache. Keyed by canon (dedup-equivalent
+        // to the reference's hash key — see alignDelta's scaladoc).
+        //
+        // MAP-SIDE PARTIAL FIRST-OCCURRENCE — measured NEGATIVE, kept as an
+        // opt-in (`SPARK_GRAFT_AGG_DEDUP=1`) for attribution. The winner is
+        // min-by the globally UNIQUE (parent_seq, link_pos) pair, so
+        // row_number()=1 over that order ≡ min(struct(parent_seq, link_pos,
+        // <payload>)) — ties can never reach the payload fields — and as an
+        // aggregate Spark plans a partial SortAggregate in the MAP stage
+        // (min over a struct buffer is not HashAggregate-able). The hoped-for
+        // win (shrink the crawl's biggest shuffle before the remote read —
+        // the reduce stage's +27-29% CPU at N=4) does not materialize: the
+        // map input is the fetch join's output, hash(canon)-partitioned, so
+        // a link's duplicate copies — same-host pages scattered uniformly
+        // across partitions — almost never colocate within a map partition.
+        // The combine yields ~nothing; the extra map-side sort costs nothing
+        // measurable either (shuffle-write spill already buffers the rows).
+        // Alternated ABAB A/B at maxDepth-5/N=4 (2026-08-18,
+        // bench/run_aggdedup_ab.sh): agg 85.1/103.7k URLs/s vs window
+        // 103.2/88.0k — means 94.4k vs 95.6k, indistinguishable inside this
+        // host's noise; counters byte-identical. The window shape stays the
+        // default (the established, PlanSpec-pinned plan); the reference's
+        // in-page duplicate collapse (crawler.go:268-274) has no volume to
+        // collapse here because candidates are already per-page-unique by
+        // construction.
+        val firsts0 =
+          if (sys.env.contains("SPARK_GRAFT_AGG_DEDUP"))
+            passed.groupBy(col("canon"))
+              .agg(min(struct(col("parent_seq"), col("link_pos"),
+                col("ua"), col("proxy"), col("url"))).as("__w"))
+              .select(col("canon"), col("__w.parent_seq"), col("__w.link_pos"),
+                col("__w.ua"), col("__w.proxy"), col("__w.url"))
+          else {
+            val w = Window.partitionBy(col("canon"))
+              .orderBy(col("parent_seq"), col("link_pos"))
+            passed.withColumn("__rn", row_number().over(w))
+              .where(col("__rn") === 1).drop("__rn")
+          }
+        // hash64 re-derived ABOVE the dedup (not shipped through it): the
         // Bloom probe's key, and next superstep's politeness salt
-        val firsts = passed.withColumn("__rn", row_number().over(w))
-          .where(col("__rn") === 1).drop("__rn")
-          .withColumn("hash64", xxhash64(col("canon")))
+        val firsts = firsts0.withColumn("hash64", xxhash64(col("canon")))
 
         // Q4b: cross-superstep dedup — Bloom segment pre-filter (no false
         // negatives → misses are definitely fresh), exact anti-join backstop.
