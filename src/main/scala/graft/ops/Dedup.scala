@@ -129,14 +129,31 @@ object Dedup {
   /**
    * Near-dup clusters: connected components over the candidate-pair graph
    * (the keep-one-per-cluster stage after MinHash/LSH + verify). Iterative
-   * min-label propagation WITH pointer jumping — each round takes every
-   * node's min over its neighbors' labels, then follows one label
-   * indirection (label ← label(label), the Shiloach–Vishkin shortcut), so
-   * convergence is O(log diameter) rounds of hash-shuffle joins instead of
-   * O(diameter): a path component that plain propagation walks one hop per
-   * round collapses in logarithmic rounds, which at corpus scale is the
-   * difference between ~8 and ~thousands of full-table shuffles (and keeps
-   * the round-over-round lineage, which serialization walks, shallow).
+   * min-label propagation with ADAPTIVE pointer jumping — each round takes
+   * every node's min over its neighbors' labels; once the per-round change
+   * count stops halving (the long-chain signal: on a path component the
+   * min label creeps one hop per round, so changes stay flat), subsequent
+   * rounds also follow one label indirection (label ← label(label), the
+   * Shiloach–Vishkin shortcut), making convergence O(log diameter) rounds
+   * instead of O(diameter) — at corpus scale the difference between ~8 and
+   * ~thousands of full-table shuffles. The jump join is NOT paid while
+   * convergence is already geometric: LSH near-dup graphs are dominated by
+   * tiny-diameter components (pairs/triples) that plain propagation
+   * finishes in 2-3 rounds, and an unconditional jump join was measured
+   * +59% on the sf0.1 bench for zero round savings.
+   *
+   * Shuffle discipline (the 100 TB traffic bound): the symmetrized edge
+   * table — the loop's biggest input — is hash-partitioned by `src` ONCE at
+   * birth and read through a partitioning-declaring leaf
+   * ([[DatasetBridge.lineageCutPartitioned]]), so no round ever re-exchanges
+   * it; and propagation is DELTA-driven: only labels that changed last round
+   * can lower a neighbor, so each round's neighbor-min join ships just the
+   * shrinking frontier (round 0: all nodes) instead of the full label table.
+   * At quiescence (zero changes) every edge has delivered its endpoint's
+   * final label in both directions (edges are symmetrized), which forces
+   * labels constant per component — i.e. the same fixpoint as full
+   * re-delivery, reached with O(frontier) instead of O(nodes) traffic per
+   * round.
    *
    * Per-round state discipline (the 100 TB memory bound): the labels table
    * is corpus-sized, so each round's result is held as an accounted
@@ -161,49 +178,76 @@ object Dedup {
         .getOption("spark.memory.offHeap.enabled").contains("true"))
         org.apache.spark.storage.StorageLevel.OFF_HEAP
       else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val p = org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val edgesCache = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(p, col("src")) // partitioned ONCE; every round joins in place
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labelsCache = edges.select(col("src").as("id")).distinct()
+    var labelsCache = edgesCache.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist(bulk)
     val n = labelsCache.count() // materialize + exact row stats for the leaf
+    // no stats on the edges leaf: default-infinite size also guarantees the
+    // planner never tries to broadcast the corpus-sized side
+    val edges = DatasetBridge.lineageCutPartitioned(edgesCache, Seq("src"), p)
     var labels = DatasetBridge.lineageCut(labelsCache, Some((n, math.max(1L, n * 64L))))
+    var frontier = labels // round 0: every node's label is fresh
     var converged = false
     var i = 0
+    var jumpOn = false
+    var prevChanges = Long.MaxValue
     while (!converged && i < maxIter) {
       // joins pinned to SHUFFLED hash: at corpus scale neither side fits a
       // broadcast, and each round's exchanges are also the lineage
       // boundaries that keep the per-stage serialized RDD graph one round
-      // deep (ShuffleDependency's parent is driver-only)
-      val nbrMin = edges.join(labels.hint("shuffle_hash"), edges("src") === labels("id"))
+      // deep (ShuffleDependency's parent is driver-only). The edges side
+      // satisfies the join's distribution from its declared leaf — only the
+      // frontier (shrinking) is exchanged here.
+      val nbrMin = edges.join(frontier.hint("shuffle_hash"), edges("src") === frontier("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_label"))
       val stepped = labels.join(nbrMin.hint("shuffle_hash"), labels("id") === nbrMin("dst"), "left")
         .select(labels("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("mid_label"),
           col("label").as("old_label"))
-      // pointer jump: label ← label(label). Labels only ever hold ids of
-      // same-component nodes, so the indirection stays in-component and
-      // monotonically non-increasing; at the joint fixpoint labels are
-      // constant per component and idempotent, hence the component min.
-      val jump = labels.select(col("id").as("j_id"), col("label").as("j_label"))
-      val updatedCache = stepped.join(jump.hint("shuffle_hash"),
-          col("mid_label") === col("j_id"), "left")
-        .select(col("id"),
-          least(col("mid_label"), coalesce(col("j_label"), col("mid_label"))).as("new_label"),
-          col("old_label"))
-        .persist(bulk)
+      // pointer jump (adaptive, see scaladoc): label ← label(label). Labels
+      // only ever hold ids of same-component nodes, so the indirection stays
+      // in-component and monotonically non-increasing; at the joint fixpoint
+      // labels are constant per component and idempotent, hence the
+      // component min. Skipping it on geometric rounds changes per-round
+      // cost, never the fixpoint.
+      val updatedCache = (
+        if (jumpOn) {
+          val jump = labels.select(col("id").as("j_id"), col("label").as("j_label"))
+          stepped.join(jump.hint("shuffle_hash"), col("mid_label") === col("j_id"), "left")
+            .select(col("id"),
+              least(col("mid_label"), coalesce(col("j_label"), col("mid_label"))).as("new_label"),
+              col("old_label"))
+        } else stepped.select(col("id"), col("mid_label").as("new_label"), col("old_label"))
+      ).persist(bulk)
       // one action: decides convergence AND materializes EVERY partition of
       // the round's cache (a take(1)-style isEmpty could leave partitions
       // unbuilt, whose later compute would chain through the caches this
       // loop is about to release)
-      converged = updatedCache.where(col("new_label") < col("old_label")).count() == 0L
-      labels = DatasetBridge.lineageCut(updatedCache, Some((n, math.max(1L, n * 64L))))
+      val changes = updatedCache.where(col("new_label") < col("old_label")).count()
+      converged = changes == 0L
+      // changes not halving round-over-round ⇒ labels are creeping along
+      // long chains ⇒ pay the shortcut from the next round on (sticky)
+      jumpOn = jumpOn || (!converged && changes * 2 > prevChanges &&
+        !sys.env.contains("SPARK_GRAFT_CC_NO_JUMP")) // bisect toggle
+      prevChanges = changes
+      if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
+        System.err.println(s"[cc] round=$i changes=$changes nextJump=$jumpOn")
+      val cut = DatasetBridge.lineageCut(updatedCache, Some((n, math.max(1L, n * 64L))))
+      labels = cut.select(col("id"), col("new_label").as("label"))
+      // next round's delta: exactly the rows this round lowered (whether by
+      // neighbor min or by pointer jump — both must be re-delivered)
+      frontier = cut.where(col("new_label") < col("old_label"))
         .select(col("id"), col("new_label").as("label"))
       labelsCache.unpersist() // previous round fully consumed — release
       labelsCache = updatedCache
       i += 1
     }
-    edges.unpersist()
+    edgesCache.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"),
       when(col("id") === col("label"), 1).otherwise(0).as("keep"))
   }
