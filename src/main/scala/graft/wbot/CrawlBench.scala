@@ -36,6 +36,17 @@ object CrawlBench {
     * and summed task time per stage — finds the non-scaling stages. */
   private final class StageProfiler extends org.apache.spark.scheduler.SparkListener {
     val rows = new scala.collection.mutable.ArrayBuffer[(Int, String, Int, Long, Long)]
+    // job intervals: the leg wall NOT covered by any running job is pure
+    // driver think-time (plan analysis/optimization/codegen, superstep glue)
+    // — the fixed floor that Amdahl charges 4x against the N=4 leg
+    val jobs = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+    private val jobStart = new scala.collection.mutable.HashMap[Int, Long]
+    override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobStart.synchronized { jobStart(e.jobId) = e.time }
+    override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+      jobStart.synchronized {
+        jobStart.remove(e.jobId).foreach(s => jobs += ((s, e.time)))
+      }
     override def onStageCompleted(
         e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val info = e.stageInfo
@@ -48,6 +59,16 @@ object CrawlBench {
       rows.sortBy(-_._4).take(15).foreach { case (id, name, n, wall, task) =>
         println(f"[stage-profile] $id%5d $n%5d $wall%8d $task%10d  $name")
       }
+      // merged union of job intervals (concurrent side jobs overlap)
+      val merged = jobs.sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+        case ((s, e) :: tail, (s2, e2)) if s2 <= e => (s, math.max(e, e2)) :: tail
+        case (acc, iv) => iv :: acc
+      }
+      val covered = merged.map { case (s, e) => e - s }.sum
+      val span = (for { a <- jobs.minByOption(_._1); b <- jobs.maxByOption(_._2) }
+        yield b._2 - a._1).getOrElse(0L)
+      println(s"[stage-profile] jobs=${jobs.size} jobCoveredMs=$covered " +
+        s"spanMs=$span driverGapMs=${span - covered}")
     }
   }
 
@@ -93,6 +114,11 @@ object CrawlBench {
       // A/B in BENCH/BASELINE.md). A deeper in-flight window keeps the
       // 2-core reduce tasks fed while remote fetches stream in.
       .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))
+      // zstd level for the shuffle codec: higher levels shrink the remote
+      // bytes the N=4 reduce stages fetch, for more map-side compress CPU
+      // (paid equally at both levels) — A/B knob, default Spark's 1
+      .config("spark.io.compression.zstd.level",
+        sys.env.getOrElse("SPARK_GRAFT_ZSTD_LEVEL", "1"))
       .config("spark.reducer.maxSizeInFlight",
         sys.env.getOrElse("SPARK_GRAFT_MAX_INFLIGHT", "96m"))
       .config("spark.ui.enabled", "false")

@@ -1,6 +1,6 @@
 package graft.wbot
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -624,9 +624,43 @@ object SparkCrawler {
         // set, which on a geometric crawl is a fraction of the candidate
         // volume. hostname/path/parent_root are consumed by passCond above
         // and ship nowhere.
-        val passed = cands.where(col("pass"))
-          .select(col("parent_seq"), col("link_pos"), col("ua"), col("proxy"),
-            col("url"), col("canon"))
+        // SHUFFLE-SLIM v2 (default ON, `SPARK_GRAFT_NO_SLIM2=1` restores the
+        // string-payload shape for attribution): of the 6 shipped columns,
+        // `ua`/`proxy` are drawn from the config's small rotation lists
+        // (request build P1 / sticky child build P2 — every candidate's
+        // value is provably a list member), so they cross the exchange as a
+        // dictionary INDEX and are re-materialized by a codegen'd literal
+        // CASE right after the dedup; `url` equals `canon` for the large
+        // majority of web links (already-canonical URLs), so it ships as a
+        // null-when-equal delta and is rebuilt with one coalesce. Raw row
+        // width through the crawl's biggest shuffle drops ~2x (the wide
+        // strings were most of it), which is paid on the N>1 remote-read
+        // path per-byte: shuffle-write serialize, netty fetch, decompress,
+        // deserialize, and the window sort's spill all scale with it.
+        // Winner selection is by the globally unique (parent_seq, link_pos)
+        // — payload re-encoding can never change which row wins, so order,
+        // seen set, and counters stay byte-identical (parity suites pin it).
+        val slim2 = !sys.env.get("SPARK_GRAFT_NO_SLIM2").contains("1") &&
+          cfg.userAgents.length <= 64 && cfg.proxies.length <= 64
+        val uaVals = cfg.userAgents
+        val proxyVals = if (cfg.proxies.isEmpty) Vector("") else cfg.proxies
+        def dictIx(c: Column, vs: Vector[String]): Column =
+          vs.zipWithIndex.foldLeft(lit(-1)) { case (acc, (v, i)) =>
+            when(c === lit(v), lit(i)).otherwise(acc) }
+        def dictVal(c: Column, vs: Vector[String]): Column =
+          vs.zipWithIndex.foldLeft(lit(vs.head)) { case (acc, (v, i)) =>
+            if (i == 0) acc else when(c === lit(i), lit(v)).otherwise(acc) }
+        val passed =
+          if (slim2) cands.where(col("pass"))
+            .select(col("parent_seq"), col("link_pos"),
+              dictIx(col("ua"), uaVals).as("ua_ix"),
+              dictIx(col("proxy"), proxyVals).as("proxy_ix"),
+              when(col("url") === col("canon"), lit(null).cast("string"))
+                .otherwise(col("url")).as("url_d"),
+              col("canon"))
+          else cands.where(col("pass"))
+            .select(col("parent_seq"), col("link_pos"), col("ua"), col("proxy"),
+              col("url"), col("canon"))
 
         // Q4a: in-batch first occurrence — discovery order (parent_seq, link_pos).
         // NOT persisted: downstream legs read it through the aggregation's
@@ -657,21 +691,33 @@ object SparkCrawler {
         // collapse here because candidates are already per-page-unique by
         // construction.
         val firsts0 =
-          if (sys.env.contains("SPARK_GRAFT_AGG_DEDUP"))
+          if (sys.env.contains("SPARK_GRAFT_AGG_DEDUP")) {
+            // payload-generic: (parent_seq, link_pos) lead the struct in
+            // passed's column order, so min-by stays the same winner
+            val payload = passed.columns.filterNot(_ == "canon")
             passed.groupBy(col("canon"))
-              .agg(min(struct(col("parent_seq"), col("link_pos"),
-                col("ua"), col("proxy"), col("url"))).as("__w"))
-              .select(col("canon"), col("__w.parent_seq"), col("__w.link_pos"),
-                col("__w.ua"), col("__w.proxy"), col("__w.url"))
-          else {
+              .agg(min(struct(payload.map(col).toIndexedSeq: _*)).as("__w"))
+              .select(col("canon") +: payload.map(c => col(s"__w.$c").as(c)): _*)
+          } else {
             val w = Window.partitionBy(col("canon"))
               .orderBy(col("parent_seq"), col("link_pos"))
             passed.withColumn("__rn", row_number().over(w))
               .where(col("__rn") === 1).drop("__rn")
           }
+        // slim2 payload re-materialized HERE, on the post-dedup set (a
+        // fraction of candidate volume): literal-CASE dictionary lookups
+        // (codegen'd, same pattern as the politeness budget map) and the
+        // url delta's one coalesce — downstream sees the exact pre-slim2
+        // schema, so every later plan is unchanged.
+        val firsts1 =
+          if (slim2) firsts0.select(col("parent_seq"), col("link_pos"),
+            dictVal(col("ua_ix"), uaVals).as("ua"),
+            dictVal(col("proxy_ix"), proxyVals).as("proxy"),
+            coalesce(col("url_d"), col("canon")).as("url"), col("canon"))
+          else firsts0
         // hash64 re-derived ABOVE the dedup (not shipped through it): the
         // Bloom probe's key, and next superstep's politeness salt
-        val firsts = firsts0.withColumn("hash64", xxhash64(col("canon")))
+        val firsts = firsts1.withColumn("hash64", xxhash64(col("canon")))
 
         // Q4b: cross-superstep dedup — Bloom segment pre-filter (no false
         // negatives → misses are definitely fresh), exact anti-join backstop.
