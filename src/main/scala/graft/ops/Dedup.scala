@@ -231,9 +231,20 @@ object Dedup {
       val changes = updatedCache.where(col("new_label") < col("old_label")).count()
       converged = changes == 0L
       // changes not halving round-over-round ⇒ labels are creeping along
-      // long chains ⇒ pay the shortcut from the next round on (sticky)
-      jumpOn = jumpOn || (!converged && changes * 2 > prevChanges &&
-        !sys.env.contains("SPARK_GRAFT_CC_NO_JUMP")) // bisect toggle
+      // long chains ⇒ pay the shortcut NEXT round. The signal is evaluated
+      // fresh each round (NOT sticky): a single stall — one component's
+      // frontier pausing while the rest converge geometrically — engages the
+      // jump for exactly one round; a true long chain keeps failing the
+      // halving test, so its jump stays on round after round and convergence
+      // stays O(log diameter) (worst case the on/off oscillation doubles the
+      // round count — still logarithmic). Rounds 0-1 are exempt: star/pair
+      // components (the LSH-dominant shape) legitimately lower comparable
+      // counts in rounds 0 and 1, then converge. Measured: the old STICKY
+      // engage turned one 33→32 stall on the sf0.1 bench graph into six
+      // jump-join rounds (+0.9 s) while the changes sequence (32→16→8→2→1)
+      // was already halving without help.
+      jumpOn = !converged && i >= 2 && changes * 2 > prevChanges &&
+        !sys.env.contains("SPARK_GRAFT_CC_NO_JUMP") // bisect toggle
       prevChanges = changes
       if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
         System.err.println(s"[cc] round=$i changes=$changes nextJump=$jumpOn")
