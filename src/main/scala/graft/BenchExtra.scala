@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round tooling, SEPARATE from the frozen Bench harness
+  * (guide §1.4): `PlanDump` writes `.explain("formatted")` for every declared
+  * query to a directory (the plans/r06 evidence files); `BenchExtra` times a
+  * named subset of queries in isolation with the noop sink, N repeats each,
+  * with labelled jobs. Neither is used by the driver. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outDir = args.headOption.getOrElse("/tmp/plans")
+    val only = args.drop(1).toSet
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "8g"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (only.isEmpty || only.contains(name)) {
+        try {
+          val df = fn(spark, sfDir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          val w = new java.io.PrintWriter(s"$outDir/$name.txt")
+          try w.write(plan) finally w.close()
+          System.err.println(s"[plandump] $name -> $outDir/$name.txt")
+        } catch { case e: Throwable =>
+          System.err.println(s"[plandump] $name FAILED: ${e.getMessage}") }
+      }
+    }
+    spark.stop()
+  }
+}
+
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    val only = args.toSet
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "8g"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same warm-up as Bench
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      val warmSpec = graft.wbot.Fixtures.SiteSpec(nHosts = 2, pagesPerHost = 6)
+      val warmPrep = graft.wbot.SparkCrawler.preparePages(
+        graft.wbot.Fixtures.pagesDf(spark, warmSpec), 4)
+      graft.wbot.SparkCrawler.runPrepared(spark, warmPrep,
+        graft.wbot.Fixtures.seeds(warmSpec),
+        graft.wbot.Schemas.CrawlConfig(maxDepth = 2, partitions = 4))
+      warmPrep.unpersist()
+    } catch { case _: Throwable => }
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val out = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+      .map { case (name, fn) =>
+        val ts = (1 to repeats).map { r =>
+          spark.sparkContext.setJobDescription(s"$name rep$r")
+          val t0 = System.nanoTime()
+          force(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }
+        spark.sparkContext.setJobDescription(null)
+        name -> ts
+      }
+    out.foreach { case (n, ts) =>
+      println(f"$n%-24s min=${ts.min}%.3f med=${ts.sorted.apply(ts.size / 2)}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

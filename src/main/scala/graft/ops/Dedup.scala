@@ -173,17 +173,41 @@ object Dedup {
    */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.sql.graftbridge.DatasetBridge
+    val conf = org.apache.spark.sql.SparkSession.active.conf
     val bulk =
-      if (org.apache.spark.sql.SparkSession.active.conf
-        .getOption("spark.memory.offHeap.enabled").contains("true"))
+      if (conf.getOption("spark.memory.offHeap.enabled").contains("true"))
         org.apache.spark.storage.StorageLevel.OFF_HEAP
       else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-    val p = org.apache.spark.sql.SparkSession.active.conf
-      .get("spark.sql.shuffle.partitions").toInt
-    val edgesCache = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val p = conf.get("spark.sql.shuffle.partitions").toInt
+    // symmetrize in ONE pass over the pair pipeline (explode of the two
+    // directions) — the previous two-leg union executed the upstream
+    // MinHash/band plan once per leg
+    val edgesCache = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .repartition(p, col("src")) // partitioned ONCE; every round joins in place
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tEdges0 = System.nanoTime()
+    val nEdges = edgesCache.count() // materialize; decides the path below
+    if (sys.env.contains("SPARK_GRAFT_CC_LOG"))
+      System.err.println(f"[cc] edges=$nEdges built in ${(System.nanoTime() - tEdges0) / 1e6}%.0fms")
+    // Small-graph fast path: the per-round persist + count + lineage-cut
+    // discipline exists to bound memory and traffic on corpus-sized graphs —
+    // on a graph whose edges fit ONE task it costs ~8 driver round-trips and
+    // ~8 multi-stage jobs for microseconds of compute. Below the bound,
+    // [[smallGraphClusters]] computes the exact fixpoint in one single-task
+    // job instead; result rows are identical (equivalence pinned by
+    // EmbeddingLshSpec's small≡big test and the q28 oracle).
+    val smallBound = conf.getOption("spark.graft.cc.smallGraphEdges")
+      .map(_.toLong).getOrElse(4000000L) // ~64 MB of edge rows in one task
+    if (nEdges <= smallBound) {
+      // edgesCache stays persisted: it backs the (lazy) result — releasing it
+      // here would recompute the whole pair pipeline at consumption time.
+      // Like the big path's final labels cache, it is the one surviving cache
+      // (Spark evicts LRU; callers needing deterministic release unpersist).
+      return smallGraphClusters(edgesCache, maxIter)
+    }
     var labelsCache = edgesCache.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist(bulk)
     val n = labelsCache.count() // materialize + exact row stats for the leaf
@@ -261,6 +285,59 @@ object Dedup {
     edgesCache.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"),
       when(col("id") === col("label"), 1).otherwise(0).as("keep"))
+  }
+
+  /** Single-task union-find for graphs below the small-graph edge bound
+    * (see [[nearDupClusters]]). The per-round dataflow machinery exists to
+    * bound memory/traffic on corpus-sized graphs; below the bound its cost is
+    * pure driver overhead (measured ~0.6-1.5 s PER ROUND of planning + job
+    * round-trip for microseconds of compute, x ~8 rounds on the sf0.1 bench
+    * graph). Here the whole edge list fits one task, so compute the exact
+    * fixpoint in ONE job: coalesce the symmetrized edges to a single
+    * partition and run path-compressed union-find inside `mapPartitions`
+    * (executor-side — nothing is collected to the driver). The result is
+    * row-identical to the converged iterative path: component representative
+    * = minimum id, `keep` = 1 iff representative (min under the JVM's
+    * Comparable order, which matches Catalyst's `least` for the numeric and
+    * ASCII-string ids this operator accepts); `maxIter` does not apply — the
+    * answer is exact by construction. */
+  private def smallGraphClusters(edgesCache: DataFrame, maxIter: Int): DataFrame = {
+    val spark = edgesCache.sparkSession
+    val idType = edgesCache.schema("src").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = true),
+      org.apache.spark.sql.types.StructField("cluster_id", idType, nullable = true),
+      org.apache.spark.sql.types.StructField("keep", org.apache.spark.sql.types.IntegerType,
+        nullable = false)))
+    val one = edgesCache.coalesce(1).rdd.mapPartitions { it =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+        r
+      }
+      def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      it.foreach { row =>
+        val s = row.get(0); val d = row.get(1)
+        if (!parent.containsKey(s)) parent.put(s, s)
+        if (!parent.containsKey(d)) parent.put(d, d)
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) { // union under min-id root, so the root IS the min
+          if (lt(rs, rd)) parent.put(rd, rs) else parent.put(rs, rd)
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val keys = parent.keySet().iterator()
+      while (keys.hasNext) {
+        val id = keys.next()
+        val root = find(id)
+        out += org.apache.spark.sql.Row(id, root, if (id == root) 1 else 0)
+      }
+      out.iterator
+    }
+    spark.createDataFrame(one, outSchema)
   }
 
   /**

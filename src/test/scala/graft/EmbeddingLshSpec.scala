@@ -95,4 +95,22 @@ class EmbeddingLshSpec extends SparkSuite {
     val after = spark.sparkContext.getPersistentRDDs.size
     assert(after - before <= 1, s"cluster loop leaked caches: $before -> $after")
   }
+
+  test("nearDupClusters: small-graph fast path is row-identical to the partitioned path") {
+    import spark.implicits._
+    // mixed shape: a 41-node chain (long diameter), isolated pairs/triples
+    // (the LSH-dominant shape) and a star — exercises jump + delta machinery
+    val pairs = ((0 until 40).map(i => (f"c$i%03d", f"c${i + 1}%03d")) ++
+      Seq(("x1", "x2"), ("y1", "y2"), ("y2", "y3"),
+        ("s0", "s1"), ("s0", "s2"), ("s0", "s3"))).toDF("id_a", "id_b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val small = rows(Dedup.nearDupClusters(pairs, maxIter = 100))
+    spark.conf.set("spark.graft.cc.smallGraphEdges", "0") // force the big path
+    try {
+      val big = rows(Dedup.nearDupClusters(pairs, maxIter = 100))
+      assert(small == big, "fast path must reach the identical fixpoint")
+      assert(small.count(_._3 == 1) == 4, "one representative per component")
+    } finally spark.conf.unset("spark.graft.cc.smallGraphEdges")
+  }
 }
