@@ -70,20 +70,36 @@ object BenchExtra {
     } catch { case _: Throwable => }
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+      }
+    })
     val out = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
       .map { case (name, fn) =>
         val ts = (1 to repeats).map { r =>
           spark.sparkContext.setJobDescription(s"$name rep$r")
+          jobs.set(0); stages.set(0); tasks.set(0)
           val t0 = System.nanoTime()
           force(fn(spark, sfDir))
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(50) // let listener events drain
+          (dt, jobs.get, stages.get, tasks.get)
         }
         spark.sparkContext.setJobDescription(null)
         name -> ts
       }
     out.foreach { case (n, ts) =>
-      println(f"$n%-24s min=${ts.min}%.3f med=${ts.sorted.apply(ts.size / 2)}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+      val t = ts.map(_._1)
+      println(f"$n%-24s min=${t.min}%.3f med=${t.sorted.apply(t.size / 2)}%.3f " +
+        f"jobs=${ts.last._2} stages=${ts.last._3} tasks=${ts.last._4} " +
+        f"all=${t.map(x => f"$x%.3f").mkString(",")}")
     }
     spark.stop()
   }

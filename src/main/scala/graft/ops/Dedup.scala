@@ -370,7 +370,10 @@ object Dedup {
       .withColumn("mb", md5(concat(col("tok"), lit("#b"))))
     def bitAt(i: Int): Column = {
       val src = if (i < 32) col("ma") else col("mb")
-      substring(src, (i % 32) + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")
+      // hex chars are 0-9a-f, so `>= "8"` ⟺ ∈ {8,9,a..f} (the high bit of
+      // the nibble) — one binary comparison in codegen where the previous
+      // isin emitted 8 string equalities per bit × 64 bits
+      substring(src, (i % 32) + 1, 1) >= "8"
     }
     val votes = (0 until 64).map(i => sum(when(bitAt(i), 1).otherwise(-1)).as(s"v_$i"))
     val voted = toks.groupBy("id").agg(votes.head, votes.tail: _*)

@@ -19,7 +19,11 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "y", "es"))
 
   private def markerCount(toks: Column, ws: Seq[String]): Column =
-    ws.map(w => size(filter(toks, t => t === w))).reduce(_ + _)
+    // one filter pass with a set predicate ≡ summing per-word counts (marker
+    // words are distinct, so a token matches at most one) — the per-word form
+    // ran |ws| interpreted array passes per row (higher-order functions do
+    // not codegen), measured ~4x slower for the 16-word stopword count
+    size(filter(toks, t => t.isin(ws: _*)))
 
   /** Marker-token language ID: argmax of per-language marker counts with a
     * deterministic preference order on ties; 'und' when no markers hit. */
