@@ -73,11 +73,22 @@ object BenchExtra {
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val logJobs = sys.env.contains("SPARK_GRAFT_JOB_LOG")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (logJobs) t0.put(j.jobId, System.nanoTime())
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (logJobs) {
+          val ms = (System.nanoTime() - t0.getOrDefault(j.jobId, System.nanoTime())) / 1e6
+          System.err.println(f"[job] ${j.jobId}%3d ${ms}%7.0fms")
+        }
       override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+        if (logJobs) System.err.println(
+          f"[stage] ${s.stageInfo.stageId}%3d tasks=${s.stageInfo.numTasks}%3d ${s.stageInfo.name.take(90)}")
       }
     })
     val out = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -130,8 +130,14 @@ object DatasetBridge {
     * under `HashPartitioning(keyCols, buckets.size)` (guaranteed when the
     * directories were written from an aligned leaf at the same width); all
     * bucket DataFrames share the leaf's schema. */
+  /** @param orderedBy columns each bucket's rows are ALREADY sorted by
+    *   (ascending) — declared on the leaf so consumers (e.g. a sort-merge
+    *   join on the key) add no sort over it. Caller's contract, like the
+    *   partitioning: holds when the bucket directories were written from a
+    *   per-partition-sorted leaf and each bucket is one file (or splits of
+    *   one file, which scan in offset order). */
   def bucketSourcesAligned(buckets: Seq[Option[DataFrame]], keyCols: Seq[String],
-      sizeHint: Option[(Long, Long)] = None): DataFrame = {
+      sizeHint: Option[(Long, Long)] = None, orderedBy: Seq[String] = Nil): DataFrame = {
     val defined = buckets.flatten
     require(defined.nonEmpty, "bucketSourcesAligned: all buckets empty")
     val cdefined = defined.map(_.asInstanceOf[classic.Dataset[Row]])
@@ -143,15 +149,18 @@ object DatasetBridge {
       buckets.map(_.map(_.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd)).toArray
     val rdd = new BucketAlignedRDD(head.sparkSession.sparkContext, rddByBucket)
     val output = head.queryExecution.analyzed.output
-    val attrs = keyCols.map(k => output.find(_.name == k).getOrElse(
-      sys.error(s"partition key $k not in output ${output.map(_.name)}")))
-    val part = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(attrs, buckets.size)
+    def attrOf(k: String) = output.find(_.name == k).getOrElse(
+      sys.error(s"partition key $k not in output ${output.map(_.name)}"))
+    val part = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+      keyCols.map(attrOf), buckets.size)
+    val ordering = orderedBy.map(k => org.apache.spark.sql.catalyst.expressions.SortOrder(
+      attrOf(k), org.apache.spark.sql.catalyst.expressions.Ascending))
     val stats = sizeHint.map { case (rows, bytes) =>
       org.apache.spark.sql.catalyst.plans.logical.Statistics(
         sizeInBytes = BigInt(bytes), rowCount = Some(BigInt(rows)))
     }
     classic.Dataset.ofRows(head.sparkSession,
-      execution.LogicalRDD(output, rdd, part, Nil, isStreaming = false)(
+      execution.LogicalRDD(output, rdd, part, ordering, isStreaming = false)(
         head.sparkSession, stats, None))
   }
 
