@@ -48,7 +48,16 @@ object Dedup {
    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int, numHashes: Int): DataFrame = {
-    val sh = charShingles(df, idCol, textCol, shingleWidth).distinct()
+    // NO distinct() before the aggregation: min over a multiset equals min
+    // over its set, so deduplicating shingles first only added an exchange —
+    // and, worse, blocked map-side partial aggregation. Without it the
+    // per-doc partial mins collapse in the MAP stage (a doc's shingles are
+    // colocated by construction), so the shuffle carries ~numHashes values
+    // per doc per map partition instead of every distinct (id, shingle) pair
+    // — the guide's "aggregate before you shuffle". One exchange, identical
+    // signatures (the DuckDB oracle computes the same aggregation without a
+    // distinct).
+    val sh = charShingles(df, idCol, textCol, shingleWidth)
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"sig_$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
