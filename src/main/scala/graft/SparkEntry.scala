@@ -220,16 +220,16 @@ object SparkEntry {
     "q31_byte_histogram" -> ((s, d) => {
       // The feature FORMULA of Multimodal.decodeMeta's 8-dim vector, pinned
       // by a DuckDB oracle at the exact-count level: bin j = bytes whose top
-      // 3 bits equal j, computed here in pure Catalyst over the hex string
-      // (byteHistCountCol) and replayed bin-identically by the oracle's
-      // list_filter over the same uppercase-hex alphabet. MultimodalSpec
-      // additionally pins the Scala decoder path (byteHistogramFeature) ≡
-      // this Catalyst twin, so the decodeMeta feature column is transitively
-      // SQL-oracled — the round-4 verdict's last un-oracled column.
+      // 3 bits equal j, computed here by the codegen'd single-pass
+      // ByteHistCounts expression (≡ the translate-over-high-nibbles twin ≡
+      // the Scala decoder — both pins in MultimodalSpec/OpsExprSpec) and
+      // replayed bin-identically by the oracle's list_filter over the
+      // uppercase-hex alphabet. The decodeMeta feature column stays
+      // transitively SQL-oracled — the round-4 verdict's last un-oracled
+      // column.
       val doc = t(s, d, "documents")
-        .withColumn("__high", Multimodal.highNibbles(hex(col("text").cast("binary"))))
-      val bins = (0 until 8).map(j =>
-        Multimodal.byteHistCountCol("__high", j).as(s"b$j"))
+        .withColumn("__hist", graft.ops.exprs.OpsExprs.byteHistCounts(col("text").cast("binary")))
+      val bins = (0 until 8).map(j => element_at(col("__hist"), j + 1).as(s"b$j"))
       doc.select(col("doc_id") +: bins: _*)
     }),
 

@@ -401,12 +401,14 @@ object Dedup {
    * Embedding near-dup / similarity via QUANTIZED integer dot product:
    * floor(x·1000) per component → exact int64 arithmetic, engine-portable
    * (no float-summation-order ambiguity). Output pairs with qdot ≥ minQdot.
+   * Computed by the codegen'd native [[graft.ops.exprs.QuantizedDot]] — the
+   * previous `aggregate(zip_with(...))` form ran interpreted lambdas per
+   * element per row (q18 scores corpus×queries pairs through this). Value-
+   * and null-semantics pinned ≡ the HOF form in OpsExprSpec, plus the
+   * q17/q18/q26 DuckDB oracles end-to-end.
    */
   def quantizedDot(vecA: Column, vecB: Column): Column =
-    aggregate(
-      zip_with(vecA, vecB, (a, b) =>
-        floor(a.cast("double") * 1000).cast("long") * floor(b.cast("double") * 1000).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    graft.ops.exprs.OpsExprs.quantizedDot(vecA, vecB)
 
   /**
    * Embedding near-dup pairs, THE SCALE PATH: sign-random-projection LSH

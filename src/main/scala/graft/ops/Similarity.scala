@@ -66,20 +66,19 @@ object Similarity {
   /** Banded LSH keys for near-dup candidate generation: `bands` independent
     * keys of `bitsPerBand` planes each (band b uses planes b·w..b·w+w-1),
     * exploded to (id, band, bucket) rows — a pair is a candidate iff it
-    * shares ANY band's bucket (OR-amplification, as in MinHash banding). */
+    * shares ANY band's bucket (OR-amplification, as in MinHash banding).
+    * All keys come from ONE codegen'd [[exprs.LshBandKeys]] pass over the
+    * quantized vector: the per-plane HOF form (`aggregate(zip_with(qv,
+    * <dims-element literal>))` × bands·bitsPerBand) ran interpreted per row
+    * AND carried the giant literal trees through planning/codegen — q17's
+    * first run measured 5.6 s mostly compiling that plan. Key values are
+    * pinned identical in OpsExprSpec and by the q17/q26 DuckDB oracles. */
   def withBandKeys(df: DataFrame, idCol: String, vecCol: String,
       bands: Int, bitsPerBand: Int, dims: Int): DataFrame = {
-    val withQ = df.withColumn("__qv", quantizedChecked(vecCol, dims))
-    val bandCols = (0 until bands).map { b =>
-      val key = (0 until bitsPerBand).map { j =>
-        when(signedDot(col("__qv"), planeSigns(b * bitsPerBand + j, dims)) > 0,
-          lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _)
-      struct(lit(b).as("band"), key.as("bucket"))
-    }
-    withQ
-      .withColumn("__bk", explode(array(bandCols: _*)))
-      .select(col(idCol), col("__bk.band").as("band"), col("__bk.bucket").as("bucket"))
+    df.withColumn("__qv", quantizedChecked(vecCol, dims))
+      .select(col(idCol),
+        posexplode(graft.ops.exprs.OpsExprs.lshBandKeys(col("__qv"), bands, bitsPerBand, dims)))
+      .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
   }
 
   /** Exact top-k: corpus × broadcast(queries), ranked window per query. */

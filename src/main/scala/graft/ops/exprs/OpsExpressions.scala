@@ -1,0 +1,199 @@
+package graft.ops.exprs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the ops/ hot paths (same promotion the
+ * crawl loop got in round 4 with `UrlExprs`): Spark's array higher-order
+ * functions (`aggregate`, `zip_with`, `transform`) do not participate in
+ * whole-stage codegen — each row pays interpreted lambda dispatch per
+ * element — and the per-plane LSH trees additionally bloat the plan (36
+ * `aggregate(zip_with(qv, <64-element literal>))` subtrees for q17), which
+ * is pure planning/codegen latency. Each expression here is a single
+ * generated call into a static evaluator doing primitive-array arithmetic,
+ * and each is pinned semantically equal to the HOF construction it replaces
+ * (OpsExprSpec) on top of the end-to-end DuckDB oracles (q17/q18/q26/q31).
+ */
+object OpsExprEval {
+
+  /** 8-bin byte histogram counts: bin j = number of payload bytes whose top
+    * 3 bits equal j — the exact counts of `Multimodal.byteHistCountCol`'s
+    * translate-over-high-nibbles construction, in ONE pass over the raw
+    * bytes (no hex string, no regex). */
+  def byteHist(bytes: Array[Byte]): ArrayData = {
+    val cnt = new Array[Long](8)
+    var i = 0
+    while (i < bytes.length) { cnt((bytes(i) & 0xff) >>> 5) += 1; i += 1 }
+    new GenericArrayData(cnt)
+  }
+
+  // deterministic md5-derived hyperplane signs, flat [plane*dims + i],
+  // built once per (planes, dims) per JVM — the same values the HOF path
+  // embeds as per-plane literal arrays
+  private val signsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Long]]()
+  def signsFlat(planes: Int, dims: Int): Array[Long] =
+    signsCache.computeIfAbsent((planes, dims), _ => {
+      val out = new Array[Long](planes * dims)
+      var p = 0
+      while (p < planes) {
+        System.arraycopy(graft.ops.Similarity.planeSigns(p, dims), 0, out, p * dims, dims)
+        p += 1
+      }
+      out
+    })
+
+  /** All `bands` LSH band keys of a ×1000-quantized vector in one pass:
+    * key_b = Σ_j [dot(plane b·w+j) > 0]·2^j with dot = Σ_i qv_i·sign_i.
+    * Faithful to the HOF construction's null algebra: a null element (or a
+    * length ≠ dims, which `zip_with` pads with null) nulls every dot, and
+    * `when(dot > 0, …).otherwise(0)` maps a null dot to bit 0 — so those
+    * rows yield ALL-ZERO keys, exactly as before (unreachable in practice:
+    * `quantizedChecked` raises on ragged rows first). */
+  def bandKeys(qv: ArrayData, bands: Int, w: Int, dims: Int): ArrayData = {
+    val keys = new Array[Long](bands)
+    val n = qv.numElements()
+    var degenerate = n != dims
+    var i = 0
+    while (!degenerate && i < n) { degenerate = qv.isNullAt(i); i += 1 }
+    if (!degenerate) {
+      val q = qv.toLongArray()
+      val signs = signsFlat(bands * w, dims)
+      var b = 0
+      while (b < bands) {
+        var key = 0L
+        var j = 0
+        while (j < w) {
+          val off = (b * w + j) * dims
+          var dot = 0L
+          var k = 0
+          while (k < dims) { dot += q(k) * signs(off + k); k += 1 }
+          if (dot > 0) key |= (1L << j)
+          j += 1
+        }
+        keys(b) = key
+        b += 1
+      }
+    }
+    new GenericArrayData(keys)
+  }
+
+  /** Exact ×1000-floor-quantized dot product of two float/double vectors:
+    * Σ floor(a_i·1000)·floor(b_i·1000) as int64. Null algebra faithful to
+    * `aggregate(zip_with(a, b, …), 0L, +)`: length mismatch (zip_with null
+    * padding) or any null element → null; two empty vectors → 0. */
+  def quantizedDot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val av = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val bv = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += math.floor(av * 1000d).toLong * math.floor(bv * 1000d).toLong
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+}
+
+/** Column handles for the native ops expressions. */
+object OpsExprs {
+  def byteHistCounts(bin: Column): Column =
+    ColumnBridge.column(ByteHistCounts(ColumnBridge.expression(bin)))
+
+  def lshBandKeys(qv: Column, bands: Int, bitsPerBand: Int, dims: Int): Column =
+    ColumnBridge.column(LshBandKeys(ColumnBridge.expression(qv), bands, bitsPerBand, dims))
+
+  def quantizedDot(a: Column, b: Column): Column =
+    ColumnBridge.column(QuantizedDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** `byte_hist(binary)` → array<bigint> of the 8 top-3-bit bin counts. */
+case class ByteHistCounts(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    OpsExprEval.byteHist(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.exprs.OpsExprEval.byteHist($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "byte_hist"
+}
+
+/** `lsh_band_keys(qv)` → array<bigint> of `bands` sign-projection band
+  * buckets (band b over planes b·bitsPerBand … b·bitsPerBand+bitsPerBand-1,
+  * the `Similarity.planeSigns` md5 hyperplanes). */
+case class LshBandKeys(child: Expression, bands: Int, bitsPerBand: Int, dims: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> (a ×1000-quantized vector), got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    OpsExprEval.bandKeys(input.asInstanceOf[ArrayData], bands, bitsPerBand, dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.exprs.OpsExprEval.bandKeys($c, $bands, $bitsPerBand, $dims);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_band_keys"
+}
+
+/** `quantized_dot(a, b)` → bigint Σ floor(a_i·1000)·floor(b_i·1000). */
+case class QuantizedDot(left: Expression, right: Expression) extends BinaryExpression {
+  private def elemOk(t: DataType): Option[Boolean] = t match {
+    case ArrayType(FloatType, _) => Some(true)
+    case ArrayType(DoubleType, _) => Some(false)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType).isDefined && elemOk(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> arguments, got " +
+        s"${left.dataType} and ${right.dataType}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private lazy val aFloat = elemOk(left.dataType).get
+  private lazy val bFloat = elemOk(right.dataType).get
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    OpsExprEval.quantizedDot(a.asInstanceOf[ArrayData], aFloat, b.asInstanceOf[ArrayData], bFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("qdot")
+      s"""
+        java.lang.Long $r = graft.ops.exprs.OpsExprEval.quantizedDot($a, $aFloat, $b, $bFloat);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "quantized_dot"
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, Similarity}
+import graft.ops.exprs.OpsExprs
+
+/** Pins the native ops expressions (ByteHistCounts, LshBandKeys,
+  * QuantizedDot) value- and null-identical to the HOF/translate
+  * constructions they replaced — on the same inputs, including the edge
+  * shapes the HOF null algebra produces (ragged vectors, null elements,
+  * empty arrays). The end-to-end q17/q18/q26/q31 DuckDB oracles pin the
+  * same semantics against a third engine. */
+class OpsExprSpec extends SparkSuite {
+
+  // the exact HOF forms the natives replaced (kept here as the reference)
+  private def hofQuantizedDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast("double") * 1000).cast("long") * floor(y.cast("double") * 1000).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  private def hofSignedDot(qv: Column, signs: Array[Long]): Column =
+    aggregate(zip_with(qv, typedlit(signs), (q, s) => q * s), lit(0L), (acc, x) => acc + x)
+
+  private def hofBandKey(qv: Column, b: Int, w: Int, dims: Int): Column =
+    (0 until w).map { j =>
+      when(hofSignedDot(qv, Similarity.planeSigns(b * w + j, dims)) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  test("ByteHistCounts ≡ translate twin ≡ Scala decoder counts") {
+    val s = spark
+    import s.implicits._
+    val r = rng(31L)
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      0L -> Array.empty[Byte],
+      1L -> Array.tabulate(256)(_.toByte),
+      2L -> "hello wbot — höhößü".getBytes("UTF-8")) ++
+      (3L to 40L).map(i => i -> Array.fill(r.nextInt(400))(r.nextInt(256).toByte))
+    val df = rows.toDF("id", "payload")
+    val native = df
+      .withColumn("__hist", OpsExprs.byteHistCounts(col("payload")))
+      .select(col("id") +: (0 until 8).map(j => element_at(col("__hist"), j + 1).as(s"b$j")): _*)
+      .collect().map(row => row.getLong(0) -> (1 to 8).map(row.getLong).toVector).toMap
+    val twin = df
+      .withColumn("__high", Multimodal.highNibbles(hex(col("payload"))))
+      .select(col("id") +: (0 until 8).map(j =>
+        Multimodal.byteHistCountCol("__high", j).as(s"b$j")): _*)
+      .collect().map(row => row.getLong(0) -> (1 to 8).map(row.getLong).toVector).toMap
+    rows.foreach { case (id, bytes) =>
+      val cnt = new Array[Long](8)
+      bytes.foreach(b => cnt((b & 0xff) >>> 5) += 1)
+      assert(native(id) == cnt.toVector, s"native vs Scala, id=$id")
+      assert(native(id) == twin(id), s"native vs translate twin, id=$id")
+    }
+  }
+
+  test("LshBandKeys ≡ per-plane HOF band keys (q17 and q26 shapes)") {
+    val s = spark
+    import s.implicits._
+    for ((bands, w, dims) <- Seq((6, 6, 64), (6, 4, 64), (3, 5, 16))) {
+      val r = rng(1000L * bands + w)
+      val vecs = (0L until 40L).map(i =>
+        i -> Array.fill(dims)((r.nextDouble() * 2 - 1).toFloat))
+      val df = vecs.toDF("id", "vec")
+        .withColumn("__qv", Similarity.quantizedChecked("vec", dims))
+      val native = df
+        .select(col("id"), posexplode(OpsExprs.lshBandKeys(col("__qv"), bands, w, dims)))
+        .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+        .collect().map(row => (row.getLong(0), row.getInt(1)) -> row.getLong(2)).toMap
+      val hof = df
+        .select(col("id") +: (0 until bands).map(b =>
+          hofBandKey(col("__qv"), b, w, dims).as(s"k$b")): _*)
+        .collect().flatMap(row =>
+          (0 until bands).map(b => (row.getLong(0), b) -> row.getLong(1 + b))).toMap
+      assert(native == hof, s"bands=$bands w=$w dims=$dims")
+    }
+  }
+
+  test("QuantizedDot ≡ HOF form, including the null algebra") {
+    val s = spark
+    import s.implicits._
+    val r = rng(7L)
+    val dims = 64
+    val pairs: Seq[(Long, Array[java.lang.Float], Array[java.lang.Float])] =
+      (0L until 30L).map { i =>
+        (i,
+          Array.fill[java.lang.Float](dims)((r.nextDouble() * 2 - 1).toFloat),
+          Array.fill[java.lang.Float](dims)((r.nextDouble() * 2 - 1).toFloat))
+      } ++ Seq(
+        (100L, Array.empty[java.lang.Float], Array.empty[java.lang.Float]), // both empty → 0
+        (101L, Array.fill[java.lang.Float](3)(0.5f), Array.fill[java.lang.Float](5)(0.5f)), // ragged → null
+        (102L, Array[java.lang.Float](0.5f, null, 0.25f), Array.fill[java.lang.Float](3)(1.0f))) // null elem → null
+    val df = pairs.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        OpsExprs.quantizedDot(col("a"), col("b")).as("native"),
+        hofQuantizedDot(col("a"), col("b")).as("hof"))
+      .collect()
+    got.foreach { row =>
+      val n = if (row.isNullAt(1)) null else java.lang.Long.valueOf(row.getLong(1))
+      val h = if (row.isNullAt(2)) null else java.lang.Long.valueOf(row.getLong(2))
+      assert(n == h, s"id=${row.getLong(0)}: native=$n hof=$h")
+    }
+    // the documented edge shapes hold
+    val byId = got.map(row => row.getLong(0) ->
+      (if (row.isNullAt(1)) null else java.lang.Long.valueOf(row.getLong(1)))).toMap
+    assert(byId(100L) == 0L)
+    assert(byId(101L) == null)
+    assert(byId(102L) == null)
+  }
+}
