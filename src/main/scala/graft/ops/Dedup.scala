@@ -373,18 +373,19 @@ object Dedup {
    * avoiding engines' differing bigint shift-overflow behavior at bit 63.
    */
   def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // all 64 md5-derived bits of a token as ONE codegen'd int64 (the native
+    // [[graft.ops.exprs.SimhashTokenBits]]): the previous shape materialized
+    // two md5 hex strings per token and ran 64 substring comparisons over
+    // them per row; bit i here is the IDENTICAL value (OpsExprSpec pins ≡
+    // the substring form; the q25 DuckDB oracle replays it end to end), and
+    // each vote is now two bit ops on the shared long
     val toks = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
       .where(col("tok") =!= "")
-      .withColumn("ma", md5(concat(col("tok"), lit("#a"))))
-      .withColumn("mb", md5(concat(col("tok"), lit("#b"))))
-    def bitAt(i: Int): Column = {
-      val src = if (i < 32) col("ma") else col("mb")
-      // hex chars are 0-9a-f, so `>= "8"` ⟺ ∈ {8,9,a..f} (the high bit of
-      // the nibble) — one binary comparison in codegen where the previous
-      // isin emitted 8 string equalities per bit × 64 bits
-      substring(src, (i % 32) + 1, 1) >= "8"
-    }
-    val votes = (0 until 64).map(i => sum(when(bitAt(i), 1).otherwise(-1)).as(s"v_$i"))
+      .withColumn("bits", graft.ops.exprs.OpsExprs.simhashTokenBits(col("tok")))
+    // vote contribution 2·bit−1 ∈ {−1, 1} — branch-free arithmetic on the
+    // shared long, identical to when(bit, 1).otherwise(-1)
+    val votes = (0 until 64).map(i =>
+      sum(shiftright(col("bits"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"v_$i"))
     val voted = toks.groupBy("id").agg(votes.head, votes.tail: _*)
     val nibbles = (0 until 16).map { j =>
       val d = (0 until 4).map(b =>

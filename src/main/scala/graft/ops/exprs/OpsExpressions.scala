@@ -84,6 +84,36 @@ object OpsExprEval {
     new GenericArrayData(keys)
   }
 
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  private val suffixA = "#a".getBytes("UTF-8")
+  private val suffixB = "#b".getBytes("UTF-8")
+
+  /** All 64 engine-portable SimHash bit votes of one token as ONE int64:
+    * bit i (i < 32) = high bit of hex char i of md5(tok ⊕ "#a"), bit 32+i =
+    * same over md5(tok ⊕ "#b") — exactly `substring(md5hex, i+1, 1) >= "8"`
+    * of the previous per-bit construction (lowercase hex: char ≥ '8' ⟺ the
+    * nibble's high bit; hex char 2k is byte k's bit 7, char 2k+1 its bit 3).
+    * md5 over the UTF-8 bytes ≡ Spark's `md5(concat(tok, lit("#x")))` (UTF-8
+    * string concat is byte concat). */
+  def simhashTokenBits(tok: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = md5Local.get()
+    val t = tok.getBytes
+    md.reset(); md.update(t); md.update(suffixA)
+    val da = md.digest()
+    md.reset(); md.update(t); md.update(suffixB)
+    val db = md.digest()
+    var bits = 0L
+    var i = 0
+    while (i < 32) {
+      val sh = if ((i & 1) == 0) 7 else 3
+      if (((da(i >> 1) >> sh) & 1) == 1) bits |= (1L << i)
+      if (((db(i >> 1) >> sh) & 1) == 1) bits |= (1L << (32 + i))
+      i += 1
+    }
+    bits
+  }
+
   /** Exact ×1000-floor-quantized dot product of two float/double vectors:
     * Σ floor(a_i·1000)·floor(b_i·1000) as int64. Null algebra faithful to
     * `aggregate(zip_with(a, b, …), 0L, +)`: length mismatch (zip_with null
@@ -114,6 +144,9 @@ object OpsExprs {
 
   def quantizedDot(a: Column, b: Column): Column =
     ColumnBridge.column(QuantizedDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def simhashTokenBits(tok: Column): Column =
+    ColumnBridge.column(SimhashTokenBits(ColumnBridge.expression(tok)))
 }
 
 /** `byte_hist(binary)` → array<bigint> of the 8 top-3-bit bin counts. */
@@ -160,6 +193,28 @@ case class LshBandKeys(child: Expression, bands: Int, bitsPerBand: Int, dims: In
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "lsh_band_keys"
+}
+
+/** `simhash_token_bits(tok)` → bigint of the token's 64 md5-derived SimHash
+  * bits (see [[OpsExprEval.simhashTokenBits]]). */
+case class SimhashTokenBits(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    OpsExprEval.simhashTokenBits(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.exprs.OpsExprEval.simhashTokenBits($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_token_bits"
 }
 
 /** `quantized_dot(a, b)` → bigint Σ floor(a_i·1000)·floor(b_i·1000). */

@@ -80,6 +80,28 @@ class OpsExprSpec extends SparkSuite {
     }
   }
 
+  test("SimhashTokenBits ≡ per-bit md5-substring construction") {
+    val s = spark
+    import s.implicits._
+    val r = rng(99L)
+    val toks = Seq("a", "wbot", "héllo", "ü—ß", "0", "#a", "x" * 50) ++
+      (0 until 50).map(_ => r.alphanumeric.take(1 + r.nextInt(12)).mkString)
+    val df = toks.toDF("tok")
+    def refBit(i: Int): Column = {
+      val src = if (i < 32) md5(concat(col("tok"), lit("#a")))
+      else md5(concat(col("tok"), lit("#b")))
+      substring(src, (i % 32) + 1, 1) >= "8"
+    }
+    val refBits = (0 until 64).map(i =>
+      when(refBit(i), lit(1L << i)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
+    val got = df.select(col("tok"),
+        graft.ops.exprs.OpsExprs.simhashTokenBits(col("tok")).as("native"),
+        refBits.as("ref"))
+      .collect()
+    got.foreach(row =>
+      assert(row.getLong(1) == row.getLong(2), s"tok=${row.getString(0)}"))
+  }
+
   test("QuantizedDot ≡ HOF form, including the null algebra") {
     val s = spark
     import s.implicits._
