@@ -48,19 +48,24 @@ object Dedup {
    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int, numHashes: Int): DataFrame = {
-    // NO distinct() before the aggregation: min over a multiset equals min
-    // over its set, so deduplicating shingles first only added an exchange —
-    // and, worse, blocked map-side partial aggregation. Without it the
-    // per-doc partial mins collapse in the MAP stage (a doc's shingles are
-    // colocated by construction), so the shuffle carries ~numHashes values
-    // per doc per map partition instead of every distinct (id, shingle) pair
-    // — the guide's "aggregate before you shuffle". One exchange, identical
-    // signatures (the DuckDB oracle computes the same aggregation without a
-    // distinct).
-    val sh = charShingles(df, idCol, textCol, shingleWidth)
-    val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"sig_$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // A signature is a PER-DOCUMENT value: min over the doc's own shingles —
+    // so it needs no explode and no shuffle at all. The previous shape
+    // (explode shingles → groupBy(id) min, round 5's "aggregate before you
+    // shuffle" refinement) still generated ~|text| rows per doc and paid one
+    // exchange + two aggregate stages; the codegen'd
+    // [[graft.ops.exprs.MinhashDocSigs]] computes the identical sig values
+    // (same code-point shingles, same md5 ⊕ "#h" mins — pinned ≡ the explode
+    // construction in OpsExprSpec, plus the q14/q15/q28 DuckDB oracles) in
+    // one map-only pass: ZERO exchanges, and downstream banding starts from
+    // one row per doc. Contract note: rows with duplicate ids now yield one
+    // signature row each (the groupBy form merged them); ids are corpus keys
+    // — unique — everywhere this operator is used.
+    df.select(col(idCol), col(textCol))
+      .where(length(col(textCol)) >= shingleWidth)
+      .withColumn("__sigs",
+        graft.ops.exprs.OpsExprs.minhashDocSigs(col(textCol), shingleWidth, numHashes))
+      .select(col(idCol) +: (0 until numHashes).map(i =>
+        element_at(col("__sigs"), i + 1).as(s"sig_$i")): _*)
   }
 
   /**

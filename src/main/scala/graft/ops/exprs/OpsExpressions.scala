@@ -114,6 +114,71 @@ object OpsExprEval {
     bits
   }
 
+  /** All `numHashes` MinHash signatures of one document in one pass over its
+    * text: sig_h = min over character shingles s of md5hex(s ⊕ "#h") — the
+    * identical values of the explode-shingles → `min(md5(concat(...)))`
+    * groupBy construction (shingle = code-point substring of width `width`,
+    * matching Spark's `substring`; min over lowercase-hex strings ≡ unsigned
+    * byte order of the digests, so the min is tracked on raw digests and
+    * hex-encoded once). Returns null when the text has fewer than `width`
+    * characters (callers filter `length(text) >= width` first, as the
+    * explode form did). */
+  def minhashDocSigs(text: org.apache.spark.unsafe.types.UTF8String,
+      width: Int, numHashes: Int): ArrayData = {
+    val b = text.getBytes
+    val n = b.length
+    val nc = text.numChars()
+    if (nc < width) return null
+    // char-start byte offsets: Spark substring indexes by code point
+    val offs = new Array[Int](nc + 1)
+    var i = 0
+    var c = 0
+    while (i < n) {
+      offs(c) = i
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(b(i))
+      c += 1
+    }
+    offs(c) = n
+    val suffixes = Array.tabulate(numHashes)(h => s"#$h".getBytes("UTF-8"))
+    val mins = new Array[Array[Byte]](numHashes)
+    val md = md5Local.get()
+    var s = 0
+    while (s <= nc - width) {
+      val off = offs(s)
+      val len = offs(s + width) - off
+      var h = 0
+      while (h < numHashes) {
+        md.reset(); md.update(b, off, len); md.update(suffixes(h))
+        val d = md.digest()
+        if (mins(h) == null || unsignedLess(d, mins(h))) mins(h) = d
+        h += 1
+      }
+      s += 1
+    }
+    val hexDigits = "0123456789abcdef".toCharArray
+    new GenericArrayData(mins.map { d =>
+      val cs = new Array[Char](32)
+      var k = 0
+      while (k < 16) {
+        cs(2 * k) = hexDigits((d(k) >> 4) & 0xf)
+        cs(2 * k + 1) = hexDigits(d(k) & 0xf)
+        k += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(new String(cs))
+    }.asInstanceOf[Array[Any]])
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
   /** Exact ×1000-floor-quantized dot product of two float/double vectors:
     * Σ floor(a_i·1000)·floor(b_i·1000) as int64. Null algebra faithful to
     * `aggregate(zip_with(a, b, …), 0L, +)`: length mismatch (zip_with null
@@ -147,6 +212,9 @@ object OpsExprs {
 
   def simhashTokenBits(tok: Column): Column =
     ColumnBridge.column(SimhashTokenBits(ColumnBridge.expression(tok)))
+
+  def minhashDocSigs(text: Column, width: Int, numHashes: Int): Column =
+    ColumnBridge.column(MinhashDocSigs(ColumnBridge.expression(text), width, numHashes))
 }
 
 /** `byte_hist(binary)` → array<bigint> of the 8 top-3-bit bin counts. */
@@ -215,6 +283,34 @@ case class SimhashTokenBits(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "simhash_token_bits"
+}
+
+/** `minhash_doc_sigs(text)` → array<string> of `numHashes` MinHash
+  * signatures over width-`width` character shingles (see
+  * [[OpsExprEval.minhashDocSigs]]); null when the text is shorter than
+  * `width` characters. */
+case class MinhashDocSigs(child: Expression, width: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true // short text → null
+
+  override protected def nullSafeEval(input: Any): Any =
+    OpsExprEval.minhashDocSigs(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], width, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.ops.exprs.OpsExprEval.minhashDocSigs($c, $width, $numHashes);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_doc_sigs"
 }
 
 /** `quantized_dot(a, b)` → bigint Σ floor(a_i·1000)·floor(b_i·1000). */

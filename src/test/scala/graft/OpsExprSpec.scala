@@ -102,6 +102,28 @@ class OpsExprSpec extends SparkSuite {
       assert(row.getLong(1) == row.getLong(2), s"tok=${row.getString(0)}"))
   }
 
+  test("MinhashDocSigs ≡ explode-shingles groupBy-min construction") {
+    val s = spark
+    import s.implicits._
+    val r = rng(55L)
+    val alphabet = "abc defé—😀xyz"
+    val texts = Seq("", "abcde", "abcdef", "ßßßßßß—😀😀😀", "a" * 200) ++
+      (0 until 40).map(_ =>
+        (0 until (r.nextInt(120))).map(_ => alphabet(r.nextInt(alphabet.length))).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for ((w, k) <- Seq((6, 4), (3, 2))) {
+      // the previous construction, verbatim
+      val sh = graft.ops.Dedup.charShingles(df, "doc_id", "text", w)
+      val aggs = (0 until k).map(i =>
+        min(md5(concat(col("shingle"), lit(s"#$i")))).as(s"sig_$i"))
+      val ref = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        .collect().map(row => row.getLong(0) -> (1 to k).map(row.getString).toVector).toMap
+      val got = graft.ops.Dedup.minhashSignatures(df, "doc_id", "text", w, k)
+        .collect().map(row => row.getLong(0) -> (1 to k).map(row.getString).toVector).toMap
+      assert(got == ref, s"width=$w numHashes=$k")
+    }
+  }
+
   test("QuantizedDot ≡ HOF form, including the null algebra") {
     val s = spark
     import s.implicits._
