@@ -620,7 +620,16 @@ object SparkCrawler {
           val ckDf = joined.select(col("seq"), col("url"), col("canon"), col("hash"),
             col("depth"), col("interval"), col("ua"), col("proxy"),
             col("html").isNotNull.as("hit"), lit(d).as("superstep"))
-          Some(scala.concurrent.Future(ckDf.localCheckpoint(true))(sideEc))
+          // checkpoint width sized from the EXACT frontier row count (same
+          // rows-per-task rule as the rank width below): the stream rows are
+          // a pure side output — unioned and seq-sorted at crawl end, never
+          // joined back — so partitioning is only a task-count knob, and the
+          // uncoalesced plan inherits the politeness window's full shuffle
+          // width (32 tasks materializing a 24-row superstep on the tiny
+          // bench crawl). coalesce never widens, so corpus-scale supersteps
+          // keep their parallelism.
+          val ckW = math.max(1, math.min(cfg.partitions, (frontierSize / 25000.0).toInt + 1))
+          Some(scala.concurrent.Future(ckDf.coalesce(ckW).localCheckpoint(true))(sideEc))
         } else None
 
       var freshCount = 0L
