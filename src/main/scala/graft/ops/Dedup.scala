@@ -378,26 +378,21 @@ object Dedup {
    * avoiding engines' differing bigint shift-overflow behavior at bit 63.
    */
   def simhashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // all 64 md5-derived bits of a token as ONE codegen'd int64 (the native
-    // [[graft.ops.exprs.SimhashTokenBits]]): the previous shape materialized
-    // two md5 hex strings per token and ran 64 substring comparisons over
-    // them per row; bit i here is the IDENTICAL value (OpsExprSpec pins ≡
-    // the substring form; the q25 DuckDB oracle replays it end to end), and
-    // each vote is now two bit ops on the shared long
-    val toks = df.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
-      .where(col("tok") =!= "")
-      .withColumn("bits", graft.ops.exprs.OpsExprs.simhashTokenBits(col("tok")))
-    // vote contribution 2·bit−1 ∈ {−1, 1} — branch-free arithmetic on the
-    // shared long, identical to when(bit, 1).otherwise(-1)
-    val votes = (0 until 64).map(i =>
-      sum(shiftright(col("bits"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"v_$i"))
-    val voted = toks.groupBy("id").agg(votes.head, votes.tail: _*)
-    val nibbles = (0 until 16).map { j =>
-      val d = (0 until 4).map(b =>
-        s"(CASE WHEN v_${4 * j + b} > 0 THEN ${8 >> b} ELSE 0 END)").mkString(" + ")
-      expr(s"substr('0123456789abcdef', ($d) + 1, 1)")
-    }
-    voted.select(col("id"), concat(nibbles: _*).as("simhash_hex"))
+    // A SimHash is a PER-DOCUMENT value (votes over the doc's own tokens), so
+    // like [[minhashSignatures]] it needs no explode and no shuffle: the
+    // codegen'd [[graft.ops.exprs.SimhashDocHex]] tokenizes, votes and
+    // assembles the 16-hex-char signature in one map-only pass — identical
+    // output to the explode-tokens → 64-sum groupBy → nibble-CASE
+    // construction (pinned in OpsExprSpec; the q25 DuckDB oracle replays the
+    // formula end to end), with zero exchanges where the previous shape paid
+    // one plus the 64-aggregate codegen. The `trim != ''` filter reproduces
+    // the groupBy's row drop for token-free texts exactly (a non-space char
+    // ⟺ at least one non-empty token). Contract note: duplicate-id rows now
+    // yield one signature row each (the groupBy merged them); ids are corpus
+    // keys — unique — everywhere this operator is used.
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .where(trim(col("__text")) =!= "")
+      .select(col("id"), graft.ops.exprs.OpsExprs.simhashDocHex(col("__text")).as("simhash_hex"))
   }
 
   /** Hamming distance between simhashes (for verify-stage pairing). */

@@ -97,11 +97,15 @@ object OpsExprEval {
     * md5 over the UTF-8 bytes ≡ Spark's `md5(concat(tok, lit("#x")))` (UTF-8
     * string concat is byte concat). */
   def simhashTokenBits(tok: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val md = md5Local.get()
     val t = tok.getBytes
-    md.reset(); md.update(t); md.update(suffixA)
+    tokenBits(t, 0, t.length)
+  }
+
+  private def tokenBits(b: Array[Byte], off: Int, len: Int): Long = {
+    val md = md5Local.get()
+    md.reset(); md.update(b, off, len); md.update(suffixA)
     val da = md.digest()
-    md.reset(); md.update(t); md.update(suffixB)
+    md.reset(); md.update(b, off, len); md.update(suffixB)
     val db = md.digest()
     var bits = 0L
     var i = 0
@@ -112,6 +116,56 @@ object OpsExprEval {
       i += 1
     }
     bits
+  }
+
+  /** The whole engine-portable SimHash-64 of one document as its 16-hex-char
+    * signature, in one pass: tokens = the text split on single spaces
+    * (byte 0x20 — never part of a UTF-8 multi-byte sequence, so byte
+    * splitting ≡ Spark's `split(text, " ")`), empty tokens skipped; vote_i =
+    * Σ_tokens (bit_i ? +1 : −1) with bit_i from [[tokenBits]]; nibble j =
+    * Σ_b [vote_{4j+b} > 0]·(8>>b). Identical to the explode-tokens →
+    * 64-sum groupBy → 16-nibble-CASE construction (OpsExprSpec pins it; the
+    * q25 DuckDB oracle replays it). Returns null when the text has no
+    * non-empty token (callers filter `trim(text) != ''` first, matching the
+    * explode form's row drop). */
+  def simhashDocHex(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val b = text.getBytes
+    val n = b.length
+    val votes = new Array[Int](64)
+    var any = false
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == 0x20) {
+        if (i > start) {
+          any = true
+          val bits = tokenBits(b, start, i - start)
+          var k = 0
+          while (k < 64) {
+            votes(k) += (((bits >>> k) & 1L).toInt << 1) - 1
+            k += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (!any) return null
+    val hexDigits = "0123456789abcdef"
+    val cs = new Array[Char](16)
+    var j = 0
+    while (j < 16) {
+      var d = 0
+      var bb = 0
+      while (bb < 4) {
+        if (votes(4 * j + bb) > 0) d += (8 >> bb)
+        bb += 1
+      }
+      cs(j) = hexDigits.charAt(d)
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(new String(cs))
   }
 
   /** All `numHashes` MinHash signatures of one document in one pass over its
@@ -215,6 +269,9 @@ object OpsExprs {
 
   def minhashDocSigs(text: Column, width: Int, numHashes: Int): Column =
     ColumnBridge.column(MinhashDocSigs(ColumnBridge.expression(text), width, numHashes))
+
+  def simhashDocHex(text: Column): Column =
+    ColumnBridge.column(SimhashDocHex(ColumnBridge.expression(text)))
 }
 
 /** `byte_hist(binary)` → array<bigint> of the 8 top-3-bit bin counts. */
@@ -283,6 +340,31 @@ case class SimhashTokenBits(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "simhash_token_bits"
+}
+
+/** `simhash_doc_hex(text)` → the document's 16-hex-char SimHash-64
+  * signature (see [[OpsExprEval.simhashDocHex]]); null when the text has no
+  * non-empty space-separated token. */
+case class SimhashDocHex(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // token-free text → null
+
+  override protected def nullSafeEval(input: Any): Any =
+    OpsExprEval.simhashDocHex(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.ops.exprs.OpsExprEval.simhashDocHex($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_doc_hex"
 }
 
 /** `minhash_doc_sigs(text)` → array<string> of `numHashes` MinHash

@@ -102,6 +102,39 @@ class OpsExprSpec extends SparkSuite {
       assert(row.getLong(1) == row.getLong(2), s"tok=${row.getString(0)}"))
   }
 
+  test("SimhashDocHex ≡ explode-tokens 64-vote groupBy construction") {
+    val s = spark
+    import s.implicits._
+    val r = rng(77L)
+    val words = Seq("wbot", "crawl", "héllo", "ß", "a", "xyz0", "—", "\tq", "\nz")
+    val texts = Seq("", " ", "   ", "one", " lead", "trail ", "a  b", "\t", "\n \n") ++
+      (0 until 40).map(_ =>
+        (0 until (1 + r.nextInt(30))).map(_ => words(r.nextInt(words.length)))
+          .mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // the previous construction, verbatim
+    val toks = df.select(col("doc_id").as("id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .withColumn("ma", md5(concat(col("tok"), lit("#a"))))
+      .withColumn("mb", md5(concat(col("tok"), lit("#b"))))
+    def bitAt(i: Int): Column = {
+      val src = if (i < 32) col("ma") else col("mb")
+      substring(src, (i % 32) + 1, 1) >= "8"
+    }
+    val votes = (0 until 64).map(i => sum(when(bitAt(i), 1).otherwise(-1)).as(s"v_$i"))
+    val voted = toks.groupBy("id").agg(votes.head, votes.tail: _*)
+    val nibbles = (0 until 16).map { j =>
+      val d = (0 until 4).map(b =>
+        s"(CASE WHEN v_${4 * j + b} > 0 THEN ${8 >> b} ELSE 0 END)").mkString(" + ")
+      expr(s"substr('0123456789abcdef', ($d) + 1, 1)")
+    }
+    val ref = voted.select(col("id"), concat(nibbles: _*).as("simhash_hex"))
+      .collect().map(row => row.getLong(0) -> row.getString(1)).toMap
+    val got = graft.ops.Dedup.simhashMd5(df, "doc_id", "text")
+      .collect().map(row => row.getLong(0) -> row.getString(1)).toMap
+    assert(got == ref)
+  }
+
   test("MinhashDocSigs ≡ explode-shingles groupBy-min construction") {
     val s = spark
     import s.implicits._
