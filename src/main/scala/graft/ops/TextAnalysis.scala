@@ -18,20 +18,22 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "est"),
     "es" -> Seq("el", "los", "y", "es"))
 
-  private def markerCount(toks: Column, ws: Seq[String]): Column =
-    // one filter pass with a set predicate ≡ summing per-word counts (marker
-    // words are distinct, so a token matches at most one) — the per-word form
-    // ran |ws| interpreted array passes per row (higher-order functions do
-    // not codegen), measured ~4x slower for the 16-word stopword count
-    size(filter(toks, t => t.isin(ws: _*)))
+  // Marker counting is ONE codegen'd pass over the text for ALL sets
+  // (graft.ops.exprs.TokenSetCounts): the round-5 shape — one `filter` HOF
+  // with a set predicate per call — still ran interpreted lambdas per row
+  // (higher-order functions do not codegen) and built a filtered array per
+  // set; the native pass splits once and counts every set's hits together.
+  // Count values are pinned ≡ the HOF form in OpsExprSpec.
 
   /** Marker-token language ID: argmax of per-language marker counts with a
     * deterministic preference order on ties; 'und' when no markers hit. */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val scored = df.select(col(idCol), toks.as("toks"))
-      .select(col(idCol) +: markers.toSeq.sortBy(_._1).map { case (l, ws) =>
-        markerCount(col("toks"), ws).as(s"score_$l") }: _*)
+    val langs0 = markers.keys.toSeq.sorted
+    val scored = df
+      .withColumn("__mc", graft.ops.exprs.OpsExprs.tokenSetCounts(
+        col(textCol), langs0.map(markers)))
+      .select(col(idCol) +: langs0.zipWithIndex.map { case (l, k) =>
+        element_at(col("__mc"), k + 1).as(s"score_$l") }: _*)
     val langs = markers.keys.toSeq.sorted
     val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
     // alphabetical-first tie-break: first lang reaching the max wins
@@ -48,7 +50,8 @@ object TextAnalysis {
     val toks = split(col(textCol), " ")
     val nChars = length(col(textCol)).cast("long")
     val nToks = size(toks).cast("long")
-    val stop = markerCount(toks, markers.values.flatten.toSeq).cast("long")
+    val stop = element_at(graft.ops.exprs.OpsExprs.tokenSetCounts(
+      col(textCol), Seq(markers.values.flatten.toSeq)), 1)
     df.select(
       col(idCol),
       nChars.as("n_chars"),

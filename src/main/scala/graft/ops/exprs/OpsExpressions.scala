@@ -233,6 +233,48 @@ object OpsExprEval {
     false
   }
 
+  /** Per-set counts of space-separated tokens that equal one of the set's
+    * words, all sets in ONE pass over the text: counts(k) = |{tokens t : t ∈
+    * sets(k)}| (multiset count — each occurrence counts, exactly
+    * `size(filter(split(text, " "), t -> t.isin(ws)))`). Byte splitting on
+    * 0x20 ≡ Spark's split-on-space; matching is UTF-8 byte equality ≡
+    * string equality. */
+  def tokenSetCounts(text: org.apache.spark.unsafe.types.UTF8String,
+      sets: Array[Array[Array[Byte]]]): ArrayData = {
+    val b = text.getBytes
+    val n = b.length
+    val counts = new Array[Long](sets.length)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == 0x20) {
+        val len = i - start
+        if (len > 0) {
+          var k = 0
+          while (k < sets.length) {
+            val ws = sets(k)
+            var w = 0
+            var hit = false
+            while (!hit && w < ws.length) {
+              val wb = ws(w)
+              if (wb.length == len) {
+                var j = 0
+                while (j < len && wb(j) == b(start + j)) j += 1
+                hit = j == len
+              }
+              w += 1
+            }
+            if (hit) counts(k) += 1
+            k += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   /** Exact ×1000-floor-quantized dot product of two float/double vectors:
     * Σ floor(a_i·1000)·floor(b_i·1000) as int64. Null algebra faithful to
     * `aggregate(zip_with(a, b, …), 0L, +)`: length mismatch (zip_with null
@@ -272,6 +314,9 @@ object OpsExprs {
 
   def simhashDocHex(text: Column): Column =
     ColumnBridge.column(SimhashDocHex(ColumnBridge.expression(text)))
+
+  def tokenSetCounts(text: Column, wordSets: Seq[Seq[String]]): Column =
+    ColumnBridge.column(TokenSetCounts(ColumnBridge.expression(text), wordSets))
 }
 
 /** `byte_hist(binary)` → array<bigint> of the 8 top-3-bit bin counts. */
@@ -340,6 +385,35 @@ case class SimhashTokenBits(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "simhash_token_bits"
+}
+
+/** `token_set_counts(text)` → array<bigint> of per-set marker-token counts
+  * (see [[OpsExprEval.tokenSetCounts]]); word sets are plan constants. */
+case class TokenSetCounts(child: Expression, wordSets: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val setBytes: Array[Array[Array[Byte]]] =
+    wordSets.map(_.map(_.getBytes("UTF-8")).toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    OpsExprEval.tokenSetCounts(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], setBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordSets", setBytes, "byte[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ops.exprs.OpsExprEval.tokenSetCounts($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "token_set_counts"
 }
 
 /** `simhash_doc_hex(text)` → the document's 16-hex-char SimHash-64

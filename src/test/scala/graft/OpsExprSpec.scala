@@ -157,6 +157,28 @@ class OpsExprSpec extends SparkSuite {
     }
   }
 
+  test("TokenSetCounts ≡ per-set filter-HOF marker counts") {
+    val s = spark
+    import s.implicits._
+    val r = rng(42L)
+    val sets = Seq(Seq("the", "and", "of", "is"), Seq("der", "die", "und", "ist"),
+      Seq("le", "é—ß"))
+    val vocab = sets.flatten ++ Seq("zzz", "", "thee", "a", "é—ß!")
+    val texts = Seq("", " ", "the the the", " the  and ", "é—ß é—ß") ++
+      (0 until 40).map(_ =>
+        (0 until r.nextInt(25)).map(_ => vocab(r.nextInt(vocab.length))).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val native = df.withColumn("__mc",
+        graft.ops.exprs.OpsExprs.tokenSetCounts(col("text"), sets))
+      .select(col("id") +: sets.indices.map(k =>
+        element_at(col("__mc"), k + 1).as(s"c$k")): _*)
+      .collect().map(row => row.getLong(0) -> (1 to sets.size).map(row.getLong).toVector).toMap
+    val hof = df.select(col("id") +: sets.zipWithIndex.map { case (ws, k) =>
+        size(filter(split(col("text"), " "), t => t.isin(ws: _*))).cast("long").as(s"c$k") }: _*)
+      .collect().map(row => row.getLong(0) -> (1 to sets.size).map(row.getLong).toVector).toMap
+    assert(native == hof)
+  }
+
   test("QuantizedDot ≡ HOF form, including the null algebra") {
     val s = spark
     import s.implicits._
