@@ -20,8 +20,22 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
  */
 object SparkEntry {
 
+  /** Declared schemas of the fixed driver test tables — exactly what Spark
+    * infers from the parquet footers (ts IS TIMESTAMP_NTZ there), declared so
+    * no query pays a per-read footer schema-inference driver job (~1-3 tiny
+    * jobs per query across the bench). Same bytes, same columns, same types;
+    * unknown table names still fall back to inference. */
+  private val tableSchemas: Map[String, String] = Map(
+    "documents" -> "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    "events" -> ("event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"),
+    "embeddings" -> "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    tableSchemas.get(name) match {
+      case Some(ddl) => s.read.schema(ddl).parquet(s"$dir/$name.parquet")
+      case None => s.read.parquet(s"$dir/$name.parquet")
+    }
 
   /** Flagship: end-to-end crawl of a deterministic synthetic web (the whole
     * engine: seed parse → politeness → fetch-join → extract → filters →
@@ -283,9 +297,15 @@ object SparkEntry {
       Fixtures.linkManifest(spec)
         .toDF("parent_canon", "link_pos", "url", "canon", "hash", "host", "root", "path")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
-      // read back: BOTH engines consume the identical parquet bytes
-      val f = s.read.parquet(s"$dir/frontier")
-      val m = s.read.parquet(s"$dir/manifest")
+      // read back: BOTH engines consume the identical parquet bytes. The
+      // read schemas are declared (they are exactly what the writes above
+      // produce, deterministically) so neither read pays a footer
+      // schema-inference job — same bytes, two fewer driver round-trips.
+      val f = s.read.schema("seq BIGINT, url STRING, canon STRING, hash STRING, " +
+        "host STRING, root STRING").parquet(s"$dir/frontier")
+      val m = s.read.schema("parent_canon STRING, link_pos INT, url STRING, " +
+        "canon STRING, hash STRING, host STRING, root STRING, path STRING")
+        .parquet(s"$dir/manifest")
       val cand = f.select(col("seq").as("parent_seq"), col("canon").as("pcanon"),
           col("root").as("parent_root"))
         .join(m.withColumnRenamed("parent_canon", "pcanon"), Seq("pcanon")) // fetch + extract
